@@ -1,0 +1,148 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy import ndimage as ndi
+
+from tissue_image_processing_tpu.ops.components import (
+    connected_components, relabel_sequential)
+from tissue_image_processing_tpu.ops.regionprops import regionprops
+from tissue_image_processing_tpu.ops.neighbors import (
+    adjacency_matrix, neighbor_lists, contact_length_matrix, second_order_adjacency)
+from oracles import perimeter_oracle, reference_find_neighbors, reference_contact_matrix
+
+
+def random_mask(rng, h=64, w=64, p=0.55):
+    return rng.random((h, w)) < p
+
+
+def test_connected_components_matches_scipy(rng):
+    mask = random_mask(rng)
+    got = np.asarray(connected_components(mask, connectivity=1))
+    want, _ = ndi.label(mask, structure=np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_connected_components_8conn(rng):
+    mask = random_mask(rng, p=0.4)
+    got = np.asarray(connected_components(mask, connectivity=2))
+    want, _ = ndi.label(mask, structure=np.ones((3, 3)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_connected_components_spiral():
+    # long snaking component exercises pointer jumping depth
+    m = np.zeros((32, 32), bool)
+    m[0, :] = True
+    m[:, -1] = True
+    m[-1, :] = True
+    m[2:, 0] = True
+    got = np.asarray(connected_components(m, connectivity=1))
+    assert got.max() == 1
+    np.testing.assert_array_equal(got > 0, m)
+
+
+def test_relabel_sequential():
+    lab = np.array([[0, 5, 5], [9, 0, 5], [9, 9, 2]])
+    got = np.asarray(relabel_sequential(jnp.asarray(lab)))
+    want = np.array([[0, 2, 2], [3, 0, 2], [3, 3, 1]])
+    np.testing.assert_array_equal(got, want)
+
+
+def _toy_labels():
+    lab = np.zeros((32, 32), np.int32)
+    lab[2:12, 2:15] = 1
+    lab[2:12, 17:30] = 2
+    lab[14:28, 2:15] = 3
+    lab[14:28, 17:30] = 4
+    lab[13, :] = 0
+    lab[:, 16] = 0
+    return lab
+
+
+def test_regionprops_basic(rng):
+    lab = _toy_labels()
+    props = regionprops(jnp.asarray(lab), num_labels=8)
+    for l in range(1, 5):
+        m = lab == l
+        ys, xs = np.nonzero(m)
+        assert float(props["area"][l]) == m.sum()
+        np.testing.assert_allclose(float(props["cy"][l]), ys.mean(), atol=1e-4)
+        np.testing.assert_allclose(float(props["cx"][l]), xs.mean(), atol=1e-4)
+        assert int(props["bbox_min_row"][l]) == ys.min()
+        assert int(props["bbox_max_row"][l]) == ys.max() + 1
+        assert int(props["bbox_min_col"][l]) == xs.min()
+        assert int(props["bbox_max_col"][l]) == xs.max() + 1
+        np.testing.assert_allclose(float(props["perimeter"][l]), perimeter_oracle(m), atol=1e-3)
+    assert not bool(props["exists"][5])
+
+
+def test_regionprops_perimeter_irregular(rng):
+    # irregular blobby region
+    mask = ndi.binary_closing(rng.random((40, 40)) < 0.4, np.ones((3, 3)))
+    lab, _ = ndi.label(mask)
+    n = lab.max()
+    props = regionprops(jnp.asarray(lab.astype(np.int32)), num_labels=int(n) + 1)
+    for l in range(1, n + 1):
+        np.testing.assert_allclose(float(props["perimeter"][l]),
+                                   perimeter_oracle(lab == l), atol=1e-3)
+
+
+def test_regionprops_intensity(rng):
+    lab = _toy_labels()
+    img = rng.random(lab.shape).astype(np.float32)
+    props = regionprops(jnp.asarray(lab), num_labels=8, intensity=jnp.asarray(img))
+    for l in range(1, 5):
+        np.testing.assert_allclose(float(props["mean_intensity"][l]),
+                                   img[lab == l].mean(), atol=1e-5)
+
+
+def test_adjacency_matches_reference():
+    lab = _toy_labels()
+    adj = np.asarray(adjacency_matrix(jnp.asarray(lab), num_labels=8))
+    got_pairs = {frozenset((a, b)) for a in range(9) for b in range(a + 1, 9) if adj[a, b]}
+    want_pairs = reference_find_neighbors(lab)
+    assert got_pairs == want_pairs
+
+
+def test_adjacency_working_mask():
+    lab = _toy_labels()
+    # only cell 4 in the working set: reference inserts only pairs whose window max
+    # (larger label) is 4
+    mask = np.zeros(9, bool)
+    mask[4] = True
+    adj = np.asarray(adjacency_matrix(jnp.asarray(lab), num_labels=8,
+                                      working_mask=jnp.asarray(mask)))
+    got_pairs = {frozenset((a, b)) for a in range(9) for b in range(a + 1, 9) if adj[a, b]}
+    want_pairs = reference_find_neighbors(lab, working_labels=[4])
+    assert got_pairs == want_pairs
+
+
+def test_neighbor_lists():
+    lab = _toy_labels()
+    adj = adjacency_matrix(jnp.asarray(lab), num_labels=8)
+    nbrs, counts = neighbor_lists(adj, max_neighbors=8)
+    nbrs = np.asarray(nbrs)
+    counts = np.asarray(counts)
+    adjn = np.asarray(adj)
+    for l in range(1, 5):
+        want = set(np.nonzero(adjn[l])[0].tolist())
+        got = set(nbrs[l][:counts[l]].tolist())
+        assert got == want
+
+
+def test_contact_matrix_matches_reference():
+    lab = _toy_labels()
+    got = np.asarray(contact_length_matrix(jnp.asarray(lab), num_labels=4))
+    want = reference_contact_matrix(lab)
+    np.testing.assert_allclose(got, want)
+
+
+def test_second_order_adjacency():
+    lab = _toy_labels()
+    adj = adjacency_matrix(jnp.asarray(lab), num_labels=4)
+    valid = jnp.ones((5,), bool)
+    adj2 = np.asarray(second_order_adjacency(adj, valid, valid))
+    a = np.asarray(adj).astype(int)
+    want = (a @ a > 0)
+    want &= ~np.eye(5, dtype=bool)
+    want[:, 0] = want[0, :] = False
+    np.testing.assert_array_equal(adj2, want)

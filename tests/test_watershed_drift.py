@@ -1,0 +1,121 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy import ndimage as ndi
+
+from tissue_image_processing_tpu.ops.watershed import (
+    regional_minima_labels, watershed, watershed_segmentation)
+from tissue_image_processing_tpu.ops.drift import phase_cross_correlation, calculate_drift
+from tissue_image_processing_tpu.ops.brightness import (
+    set_channel_brightness, normalize_channel, binary_image)
+from conftest import make_cell_image
+from oracles import meyer_watershed, regional_minima
+
+
+def best_dice(got, want):
+    """Mean best-match Dice between label maps (cells only)."""
+    dices = []
+    for l in range(1, want.max() + 1):
+        wm = want == l
+        if wm.sum() < 20:
+            continue
+        cand = np.bincount(got[wm].ravel())
+        cand[0] = 0
+        if cand.size <= 1 or cand.max() == 0:
+            dices.append(0.0)
+            continue
+        g = cand.argmax()
+        gm = got == g
+        dices.append(2 * np.logical_and(wm, gm).sum() / (wm.sum() + gm.sum()))
+    return np.mean(dices)
+
+
+def test_regional_minima_matches_oracle(rng):
+    img = ndi.gaussian_filter(rng.random((48, 48)), 2.0)
+    got = np.asarray(regional_minima_labels(jnp.asarray(img.astype(np.float32))))
+    want = regional_minima(img.astype(np.float32))
+    np.testing.assert_array_equal(got > 0, want)
+
+
+def test_watershed_partition_properties():
+    img = make_cell_image(96, 96, n_seeds=12, seed=3)
+    blurred = ndi.gaussian_filter(np.where(img < 0.2 * img.max(), 0, img), 3.0)
+    lab = np.asarray(watershed(jnp.asarray(blurred.astype(np.float32))))
+    n = lab.max()
+    assert n >= 5
+    # labels are consecutive
+    assert set(np.unique(lab)) == set(range(0, n + 1))
+    # watershed line separates distinct labels: no two 4-adjacent pixels differ in
+    # nonzero label
+    for dy, dx in [(0, 1), (1, 0)]:
+        a = lab[max(dy, 0):lab.shape[0] - max(-dy, 0) or None, max(dx, 0):]
+        b = lab[:lab.shape[0] - dy, :lab.shape[1] - dx]
+        both = (a > 0) & (b > 0)
+        assert np.all(a[both] == b[both])
+
+
+def test_watershed_dice_vs_meyer_oracle():
+    img = make_cell_image(96, 96, n_seeds=12, seed=5)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    blurred = ndi.gaussian_filter(seg.astype(np.float32), 3.0).astype(np.float32)
+    got = np.asarray(watershed(jnp.asarray(blurred)))
+    want = meyer_watershed(blurred)
+    d = best_dice(got, want)
+    assert d > 0.985, f"Dice {d:.4f} vs Meyer oracle too low"
+
+
+def test_watershed_segmentation_end_to_end():
+    img = make_cell_image(128, 128, n_seeds=20, seed=7)
+    lab = np.asarray(watershed_segmentation(jnp.asarray(img), 0.2, 3.0, 41))
+    # should find roughly the seeded number of cells
+    sizes = np.bincount(lab.ravel())[1:]
+    big = (sizes > 100).sum()
+    assert 12 <= big <= 28
+
+
+def test_phase_correlation_integer_shift(rng):
+    # content displaced by (+5, -7): the registration shift (skimage convention,
+    # "what to add to the second image to get the first") is (-5, +7)
+    img = ndi.gaussian_filter(rng.random((64, 64)), 2.0).astype(np.float32)
+    shifted = np.roll(img, (5, -7), axis=(0, 1))
+    dy, dx = np.asarray(phase_cross_correlation(jnp.asarray(img), jnp.asarray(shifted)))
+    assert abs(dy + 5) < 0.1 and abs(dx - 7) < 0.1
+
+
+def test_phase_correlation_subpixel(rng):
+    img = ndi.gaussian_filter(rng.random((128, 128)), 3.0)
+    true = (2.37, -1.82)
+    shifted = np.real(np.fft.ifft2(ndi.fourier_shift(np.fft.fft2(img), true)))
+    dy, dx = np.asarray(calculate_drift(jnp.asarray(img.astype(np.float32)),
+                                        jnp.asarray(shifted.astype(np.float32))))
+    assert abs(dy + true[0]) < 0.05, (dy, dx)
+    assert abs(dx + true[1]) < 0.05, (dy, dx)
+
+
+def test_set_channel_brightness_matches_reference_logic(rng):
+    img = (rng.random((40, 40)) * 65535).astype(np.float64)
+    got = np.asarray(set_channel_brightness(jnp.asarray(img), 65535.0, "bestFit", 1.0, 0.0))
+    # numpy oracle (reference basic_image_manipulations.py:303-348, gamma=1 no-op)
+    x = img.copy()
+    new_max = np.percentile(x, 99)
+    new_min = np.percentile(x, 1)
+    x[x > new_max] = new_max
+    x = x - new_min
+    x = x / x.max()
+    x = x + 1 / 65535.0
+    x[x < 0] = 0
+    np.testing.assert_allclose(got, x, atol=1e-4)
+
+
+def test_normalize_channel(rng):
+    img = (rng.random((30, 30)) * 1000).astype(np.float32)
+    got = np.asarray(normalize_channel(jnp.asarray(img)))
+    p99, p1 = np.percentile(img, 99), np.percentile(img, 1)
+    want = (np.clip(img, p1, p99) - p1) / (p99 - p1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_binary_image(rng):
+    img = rng.random((3, 10, 10)).astype(np.float32)
+    out = np.asarray(binary_image(img, [0.3, 0.5, 0.7], channel_axis=0))
+    for c, t in enumerate([0.3, 0.5, 0.7]):
+        np.testing.assert_array_equal(out[c] > 0.5, img[c] > t)

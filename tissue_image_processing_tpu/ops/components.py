@@ -1,0 +1,116 @@
+"""Connected-component labeling on device.
+
+TPU-native replacement for ``skimage.measure.label`` / ``scipy.ndimage.label``
+(used by the reference for splitting cells after line edits, ``tissue_info.py:2922``,
+and for seeding watershed minima).
+
+Algorithm: union-find by label-propagation with hooking + path compression
+(pointer-jumping), the standard data-parallel CC scheme. Each pixel starts as its own
+root (its flattened index); every round each masked pixel (a) takes the min root among
+itself and its masked neighbors, (b) hooks that min onto its current root with a
+scatter-min, (c) compresses paths twice. Convergence takes O(log(diameter)) rounds, each
+round a handful of gathers/shift-compares over the whole image — ideal for the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tissue_image_processing_tpu.ops.morphology import shift2d
+
+__all__ = ["connected_components", "relabel_sequential", "relabel_by_raster_order"]
+
+
+def _neighbor_shifts(connectivity: int):
+    if connectivity == 1:
+        return [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    return [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def connected_components(
+    mask: jnp.ndarray,
+    connectivity: int = 1,
+    max_iters: int = 64,
+) -> jnp.ndarray:
+    """Label connected components of a boolean mask.
+
+    Returns an int32 map where background = 0 and components are labeled 1..N in
+    raster order of their first (top-left-most) pixel — matching scipy/skimage
+    labeling order so downstream label<->row contracts line up.
+    """
+    H, W = mask.shape
+    n = H * W
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+    INF = jnp.int32(n)
+    root = jnp.where(mask, idx, INF).ravel()
+
+    shifts = _neighbor_shifts(connectivity)
+    mask_f = mask.ravel()
+
+    def nbr_min(lbl_flat):
+        lbl2d = lbl_flat.reshape(H, W)
+        m = lbl2d
+        for dy, dx in shifts:
+            m = jnp.minimum(m, shift2d(lbl2d, dy, dx, INF))
+        return jnp.where(mask_f, m.ravel(), INF)
+
+    def body(state):
+        root, _ = state
+        cand = nbr_min(root)
+        # hook: root[root[p]] = min(root[root[p]], cand[p]) via scatter-min
+        buf = jnp.concatenate([root, jnp.array([INF], jnp.int32)])  # slot n = trash
+        parents = jnp.where(mask_f, root, n)
+        buf = buf.at[parents].min(cand)
+        new_root = buf[:n]
+        # path compression (two jumps)
+        safe = jnp.clip(new_root, 0, n - 1)
+        new_root = jnp.where(mask_f, buf[safe], INF)
+        safe = jnp.clip(new_root, 0, n - 1)
+        buf2 = jnp.concatenate([new_root, jnp.array([INF], jnp.int32)])
+        new_root = jnp.where(mask_f, buf2[jnp.clip(new_root, 0, n - 1)], INF)
+        changed = jnp.any(new_root != root)
+        return new_root, changed
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    root, _ = jax.lax.while_loop(cond, body, body((root, jnp.bool_(True))))
+    root = jnp.where(mask_f, root, -1).reshape(H, W)
+    return relabel_sequential(root, background=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("background",))
+def relabel_sequential(labels: jnp.ndarray, background: int = 0) -> jnp.ndarray:
+    """Map arbitrary integer labels to consecutive 1..N (background -> 0).
+
+    Labels are ranked by value, so if input labels are root-pixel flat indices the
+    output ordering matches raster-scan first-encounter order (scipy-compatible).
+    """
+    flat = labels.ravel()
+    is_bg = flat == background
+    big = jnp.where(is_bg, jnp.iinfo(jnp.int32).max, flat.astype(jnp.int32))
+    s = jnp.sort(big)
+    newflag = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                               (s[1:] != s[:-1]).astype(jnp.int32)])
+    rank = jnp.cumsum(newflag)  # 1-based rank among distinct sorted values
+    pos = jnp.searchsorted(s, big, side="left")
+    out = rank[pos].astype(jnp.int32)
+    out = jnp.where(is_bg, 0, out)
+    return out.reshape(labels.shape)
+
+
+def relabel_by_raster_order(labels: jnp.ndarray) -> jnp.ndarray:
+    """Relabel 1..N by raster order of each component's first pixel (background 0)."""
+    flat = labels.ravel()
+    n = flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    num = int(jnp.max(flat)) + 1 if flat.size else 1
+    first = jax.ops.segment_min(idx, flat, num_segments=num)
+    first = first.at[0].set(-1)
+    key = first[flat]
+    return relabel_sequential(key.reshape(labels.shape), background=-1)

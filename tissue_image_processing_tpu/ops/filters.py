@@ -1,0 +1,133 @@
+"""Separable Gaussian filtering and difference-of-Gaussians band-pass.
+
+TPU-native equivalents of the reference's filter kernels
+(``basic_image_manipulations.py:373-414`` — ``blur_image`` via
+``scipy.ndimage.gaussian_filter(mode='nearest')`` and ``band_pass_filter`` via
+``skimage.filters.difference_of_gaussians``).
+
+Design: an N-D Gaussian is separable, so we run one 1-D correlation per axis with
+edge-replicate padding. Each pass is expressed as ``lax.conv_general_dilated`` over a
+flattened batch so XLA maps it onto the TPU convolution units and fuses the padding.
+Kernel radius matches scipy: ``radius = int(truncate * sigma + 0.5)`` with
+``truncate = 4.0``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gaussian_kernel1d", "gaussian_blur", "band_pass_filter"]
+
+
+def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
+    """1-D Gaussian kernel identical to scipy.ndimage's (normalized, radius
+    ``int(truncate*sigma + 0.5)``)."""
+    radius = int(truncate * float(sigma) + 0.5)
+    if radius <= 0 or sigma <= 0:
+        return jnp.ones((1,), dtype=jnp.float32)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Correlate ``x`` with ``kernel`` along ``axis`` using edge-replicate padding."""
+    ksize = kernel.shape[0]
+    if ksize == 1:
+        return x
+    r = (ksize - 1) // 2
+    x = jnp.moveaxis(x, axis, -1)
+    shape = x.shape
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="edge")
+    flat = xp.reshape(-1, 1, xp.shape[-1])
+    k = kernel.reshape(1, 1, ksize).astype(flat.dtype)
+    out = jax.lax.conv_general_dilated(
+        flat,
+        k,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = out.reshape(shape)
+    return jnp.moveaxis(out, -1, axis)
+
+
+@functools.partial(jax.jit, static_argnames=("std", "truncate"))
+def gaussian_blur(
+    image: jnp.ndarray,
+    std: Union[float, Sequence[float]],
+    truncate: float = 4.0,
+) -> jnp.ndarray:
+    """Gaussian blur matching ``scipy.ndimage.gaussian_filter(image, std, mode='nearest')``
+    (the reference's ``blur_image``, ``basic_image_manipulations.py:373-390``).
+
+    ``std`` may be a scalar (applied to every axis) or one value per axis; it must be a
+    static (Python) value since it determines kernel sizes.
+    """
+    if not hasattr(std, "__len__"):
+        std = (float(std),) * image.ndim
+    std = tuple(float(s) for s in std)
+    if len(std) != image.ndim:
+        raise ValueError(f"std {std} does not match image ndim {image.ndim}")
+    out = image.astype(jnp.float32)
+    for axis, sigma in enumerate(std):
+        kernel = gaussian_kernel1d(sigma, truncate)
+        out = _correlate1d_nearest(out, kernel, axis)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("low_sigma", "high_sigma", "truncate"))
+def band_pass_filter(
+    image: jnp.ndarray,
+    low_sigma: float,
+    high_sigma: float,
+    truncate: float = 4.0,
+) -> jnp.ndarray:
+    """Difference-of-Gaussians band-pass, matching the semantics of
+    ``skimage.filters.difference_of_gaussians`` used by the reference
+    (``basic_image_manipulations.py:393-414``): blur with the small and large sigma
+    and subtract."""
+    lo = gaussian_blur(image, low_sigma, truncate)
+    hi = gaussian_blur(image, high_sigma, truncate)
+    return lo - hi
+
+
+def block_reduce(image: jnp.ndarray, block: Sequence[int], func: str = "mean") -> jnp.ndarray:
+    """Downsample by non-overlapping blocks (pad with zeros to a multiple first), matching
+    ``skimage.measure.block_reduce`` semantics used by the projection scorer
+    (reference ``surface_projection.py:41-51``).
+
+    ``func``: "mean" or "var" (population variance, like ``np.var``).
+    """
+    block = tuple(int(b) for b in block)
+    if len(block) != image.ndim:
+        raise ValueError("block rank mismatch")
+    pads = []
+    for dim, b in zip(image.shape, block):
+        rem = (-dim) % b
+        pads.append((0, rem))
+    x = jnp.pad(image, pads, mode="constant", constant_values=0)
+    new_shape = []
+    for dim, b in zip(x.shape, block):
+        new_shape.extend([dim // b, b])
+    x = x.reshape(new_shape)
+    axes = tuple(range(1, x.ndim, 2))
+    if func == "mean":
+        return jnp.mean(x, axis=axes)
+    elif func == "var":
+        return jnp.var(x, axis=axes)
+    elif func == "max":
+        return jnp.max(x, axis=axes)
+    raise ValueError(f"unknown reduce func {func}")
+
+
+def resize_bilinear(image: jnp.ndarray, shape: Sequence[int]) -> jnp.ndarray:
+    """Bilinear resize via jax.image (used where the reference calls
+    ``skimage.transform.resize``, e.g. ``surface_projection.py:60,64``)."""
+    return jax.image.resize(image.astype(jnp.float32), tuple(shape), method="linear")

@@ -1,0 +1,188 @@
+"""Watershed segmentation with watershed lines, recast for TPU.
+
+TPU-native replacement for ``skimage.segmentation.watershed(image, watershed_line=True)``
+as used by the reference (``basic_image_manipulations.py:475``,
+``Segmentation/prediction_local.py:194``). skimage's implementation is a sequential
+priority-queue flood — inherently serial. Here the flood is reformulated as a
+steepest-descent forest + pointer jumping, which is massively parallel:
+
+1. **Seeds**: regional minima (equal-valued plateaus with no lower 8-neighbor),
+   4-connected components, labeled in raster order — the same marker order skimage
+   derives via ``ndi.label(local_minima(image))``.
+2. **Ascending flood**: with markers at every regional minimum, each pixel has a
+   monotone descending path to a seed, so the priority-flood order is simply ascending
+   image value. A pixel "pops" once all strictly-lower neighbors have settled; it takes
+   the label of its earliest-popped labeled neighbor (ordered by (value, arrival)), and
+   becomes a watershed-line pixel if settled neighbors carry two distinct labels —
+   exactly Meyer's heap semantics, run as a synchronous relaxation where all fronts
+   advance one pixel per iteration (iterations ~ largest basin radius, each a few fused
+   VPU shift/compare passes).
+3. **Watershed lines**: a pixel is a line pixel iff a 4-neighbor carries a different
+   label and was flooded earlier (lexicographic (f, t, index) order) — where skimage's
+   colliding wavefronts leave a 0-line, up to heap tie-breaks.
+
+Agreement with skimage on the blurred membrane images this pipeline produces is
+validated in tests/test_watershed.py against a pure-numpy priority-flood oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tissue_image_processing_tpu.ops.components import connected_components
+from tissue_image_processing_tpu.ops.filters import gaussian_blur
+from tissue_image_processing_tpu.ops.local_threshold import threshold_local_max
+from tissue_image_processing_tpu.ops.morphology import shift2d
+
+__all__ = ["regional_minima_labels", "watershed", "watershed_segmentation"]
+
+_NBRS4 = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+_NBRS8 = _NBRS4 + [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+
+def _nbr_val(img2d: jnp.ndarray, dy: int, dx: int, cval) -> jnp.ndarray:
+    """Value of the neighbor at offset (dy, dx): out[p] = img[p + (dy, dx)]."""
+    return shift2d(img2d, -dy, -dx, cval)
+
+
+@jax.jit
+def regional_minima_labels(image: jnp.ndarray) -> jnp.ndarray:
+    """Label regional minima plateaus 1..N in raster order (0 elsewhere)."""
+    img = image.astype(jnp.float32)
+    inf = jnp.float32(jnp.inf)
+    min8 = None
+    for dy, dx in _NBRS8:
+        v = _nbr_val(img, dy, dx, inf)
+        min8 = v if min8 is None else jnp.minimum(min8, v)
+    candidate = img <= min8
+    # a candidate adjacent (8) to an equal-valued non-candidate belongs to an escaping
+    # plateau -> its whole component is not a regional minimum
+    bad = jnp.zeros_like(candidate)
+    for dy, dx in _NBRS8:
+        v = _nbr_val(img, dy, dx, inf)
+        c = _nbr_val(candidate, dy, dx, True)
+        bad = bad | ((v == img) & (~c))
+    comp = connected_components(candidate, connectivity=1)
+    ncomp = comp.size  # static upper bound for segment reduce
+    comp_flat = comp.ravel()
+    bad_any = jax.ops.segment_max(
+        (bad & candidate).ravel().astype(jnp.int32), comp_flat,
+        num_segments=ncomp, indices_are_sorted=False)
+    keep = bad_any[comp_flat] == 0
+    seeds = jnp.where((comp_flat > 0) & keep, comp_flat, 0).reshape(image.shape)
+    # compact to 1..N preserving raster order
+    from tissue_image_processing_tpu.ops.components import relabel_sequential
+    return relabel_sequential(seeds, background=0)
+
+
+@functools.partial(jax.jit, static_argnames=("watershed_line",))
+def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
+              watershed_line: bool = True) -> jnp.ndarray:
+    """Flood ``image`` from its regional minima (or from ``markers`` if given).
+
+    Returns int32 labels 1..N; with ``watershed_line`` the one-pixel separating lines
+    are 0, matching the reference's label-map contract (``tissue_info.py:424``).
+    """
+    H, W = image.shape
+    img = image.astype(jnp.float32)
+    inf = jnp.float32(jnp.inf)
+
+    if markers is None:
+        markers = regional_minima_labels(img)
+    seeds = markers.astype(jnp.int32)
+
+    seeded = seeds > 0
+    big_t = jnp.int32(jnp.iinfo(jnp.int32).max // 2)
+
+    # --- phase 1: flood level lam(p) = min over paths from any seed of the maximum
+    # elevation along the path (the level at which the sequential flood reaches p).
+    # Label-free Bellman-Ford under the (min, max) semiring; needed because skimage
+    # finds minima with 8-connectivity but floods with 4-connectivity, so pockets
+    # reachable only diagonally from their minimum flood *downhill* through a pass.
+    lam0 = jnp.where(seeded, img, inf)
+
+    def bf_body(state):
+        lam, _ = state
+        new = lam
+        for dy, dx in _NBRS4:
+            ql = _nbr_val(lam, dy, dx, inf)
+            new = jnp.minimum(new, jnp.maximum(ql, img))
+        return new, jnp.any(new != lam)
+
+    lam, _ = jax.lax.while_loop(lambda s: s[1], bf_body, (lam0, jnp.bool_(True)))
+    q_lam = [_nbr_val(lam, dy, dx, inf) for dy, dx in _NBRS4]
+
+    # --- phase 2: settle in ascending (lam, arrival) order — Meyer's pop order. A
+    # pixel settles once every strictly-lower-lam neighbor has settled; it takes the
+    # label of its earliest-popped donor (min (lam_q, t_q)).
+    state0 = dict(
+        lbl=seeds,
+        settled=seeded,
+        t=jnp.where(seeded, 0, big_t),
+        it=jnp.int32(1),
+        changed=jnp.bool_(True),
+    )
+
+    def sweep(state):
+        lbl, settled, t = state["lbl"], state["settled"], state["t"]
+        ready = jnp.ones((H, W), bool)
+        best_v = jnp.full((H, W), jnp.inf, jnp.float32)
+        best_t = jnp.full((H, W), big_t, jnp.int32)
+        best_l = jnp.zeros((H, W), jnp.int32)
+        for (dy, dx), qv in zip(_NBRS4, q_lam):
+            ql = _nbr_val(lbl, dy, dx, 0)
+            qs = _nbr_val(settled, dy, dx, True)
+            qt = _nbr_val(t, dy, dx, big_t)
+            ready = ready & ((~(qv < lam)) | qs)
+            donor = qs & (ql > 0) & (qv <= lam)
+            better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
+            best_v = jnp.where(better, qv, best_v)
+            best_t = jnp.where(better, qt, best_t)
+            best_l = jnp.where(better, ql, best_l)
+        can_settle = (~settled) & ready & (best_l > 0)
+        return dict(
+            lbl=jnp.where(can_settle, best_l, lbl),
+            settled=settled | can_settle,
+            t=jnp.where(can_settle, state["it"], t),
+            it=state["it"] + 1,
+            changed=jnp.any(can_settle),
+        )
+
+    state = jax.lax.while_loop(lambda s: s["changed"], sweep, state0)
+    lbl, t = state["lbl"], state["t"]
+    lbl = jnp.where(state["settled"], lbl, 0)
+
+    if watershed_line:
+        # a pixel where an earlier-popped ((lam, arrival, index) order) neighbor
+        # carries a different label is where skimage's colliding fronts leave a 0-line
+        n = H * W
+        idx2d = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+        line = jnp.zeros((H, W), bool)
+        for (dy, dx), qv in zip(_NBRS4, q_lam):
+            ql = _nbr_val(lbl, dy, dx, 0)
+            qt = _nbr_val(t, dy, dx, big_t)
+            qi = _nbr_val(idx2d, dy, dx, n)
+            earlier = (
+                (qv < lam)
+                | ((qv == lam) & (qt < t))
+                | ((qv == lam) & (qt == t) & (qi < idx2d))
+            )
+            line = line | ((ql != lbl) & (ql > 0) & (lbl > 0) & earlier)
+        lbl = jnp.where(line, 0, lbl)
+    return lbl
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "std"))
+def watershed_segmentation(image: jnp.ndarray, imgthresh: float, std: float,
+                           block_size: int) -> jnp.ndarray:
+    """Classic segmentation pipeline matching the reference's active
+    ``watershed_segmentation`` (``basic_image_manipulations.py:446-476``):
+    local-max threshold -> zero dim pixels -> Gaussian blur -> watershed with lines."""
+    img = image.astype(jnp.float32)
+    thr = imgthresh * threshold_local_max(img, block_size)
+    seg = jnp.where(img < thr, 0.0, img)
+    blurred = gaussian_blur(seg, float(std))
+    return watershed(blurred, watershed_line=True)
