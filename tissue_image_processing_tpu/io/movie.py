@@ -1,0 +1,132 @@
+"""Movie access: chunked iteration, concatenation, and a memory-mapped frame store.
+
+TPU-native rethink of the reference's dask-based out-of-core slicing
+(``read_virtual_image`` / ``read_image_in_chunks``,
+``basic_image_manipulations.py:59-159``): instead of lazy dask graphs computed one
+frame at a time, frames are staged host-side as numpy (optionally memory-mapped)
+and fed to the device in T-batches so the whole proj->seg->track loop stays on TPU.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from tissue_image_processing_tpu.io.tiff import read_whole_image, to_tczyx
+
+
+class MovieStore:
+    """A TCZYX movie backed by a numpy array or .npy memory map.
+
+    The batched pipeline pulls ``frames(t0, t1)`` slices and ships them to device
+    in one transfer per batch (replacing the reference's per-frame
+    ``dask .compute()`` host materializations, e.g. ``gui.py:444``).
+    """
+
+    def __init__(self, data: np.ndarray, axes: str = "TCZYX"):
+        self.data = to_tczyx(data, axes)
+
+    @classmethod
+    def open(cls, path: str, mmap: bool = True) -> "MovieStore":
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".npy" and mmap:
+            arr = np.load(path, mmap_mode="r")
+            axes = {5: "TCZYX", 4: "TCYX", 3: "TYX", 2: "YX"}[arr.ndim]
+            return cls(np.asarray(arr), axes)
+        arr, axes, _ = read_whole_image(path)
+        return cls(arr, axes)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def num_frames(self) -> int:
+        return self.data.shape[0]
+
+    def frame(self, t: int) -> np.ndarray:
+        """(C, Z, Y, X) single frame; ``t`` is 0-based."""
+        return np.asarray(self.data[t])
+
+    def frames(self, t0: int, t1: int) -> np.ndarray:
+        """(T, C, Z, Y, X) frame batch."""
+        return np.asarray(self.data[t0:t1])
+
+
+def read_image_in_chunks(
+    data: np.ndarray,
+    dx: int = 0, dy: int = 0, dz: int = 0, dc: int = 0, dt: int = 0,
+    apply_function: Optional[Callable] = None,
+    output: Optional[Sequence[np.ndarray]] = None,
+    **apply_function_params,
+) -> Iterator:
+    """Walk a 5-D TCZYX array in (dt, dc, dz, dy, dx) chunks, apply a function and
+    scatter (possibly tuple) results into preallocated outputs.
+
+    API-compatible generator with the reference's chunked-apply engine
+    (``basic_image_manipulations.py:89-159``), minus the dask lazy layer: ``data``
+    is a numpy array or memmap. A chunk dimension of 0 means "whole axis".
+    """
+    max_t, max_c, max_z, max_y, max_x = data.shape
+    dt = dt or max_t
+    dc = dc or max_c
+    dz = dz or max_z
+    dy = dy or max_y
+    dx = dx or max_x
+    for t in range(0, max_t, dt):
+        for c in range(0, max_c, dc):
+            for z in range(0, max_z, dz):
+                for y in range(0, max_y, dy):
+                    for x in range(0, max_x, dx):
+                        chunk = np.asarray(data[t:t + dt, c:c + dc, z:z + dz,
+                                                y:y + dy, x:x + dx])
+                        if apply_function is None:
+                            yield chunk
+                            continue
+                        result = apply_function(chunk, **apply_function_params)
+                        if output is not None:
+                            results = result if isinstance(result, tuple) else (result,)
+                            outs = output if isinstance(output, (list, tuple)) else [output]
+                            for res, out in zip(results, outs):
+                                res = np.asarray(res)
+                                ot, oc, oz, oy, ox = out.shape
+                                sl = (slice(min(t, ot), min(t + dt, max_t, ot)),
+                                      slice(min(c, oc), min(c + dc, max_c, oc)),
+                                      slice(min(z, oz), min(z + dz, max_z, oz)),
+                                      slice(min(y, oy), min(y + dy, max_y, oy)),
+                                      slice(min(x, ox), min(x + dx, max_x, ox)))
+                                target_shape = tuple(s.stop - s.start for s in sl)
+                                out[sl] = res.reshape(target_shape)
+                        yield result
+
+
+def concatenate_time_points(files: List[str]) -> np.ndarray:
+    """Concatenate per-movie .npy projections along T, padding interior axes to the
+    first file's sizes (reference ``concatenate_time_points``,
+    ``basic_image_manipulations.py:478-495``)."""
+    imgs: List[np.ndarray] = []
+    for file in files:
+        img = np.load(file).astype("uint16")
+        if imgs:
+            ref = imgs[0]
+            pad_width = [(0, 0)]
+            for dim in range(1, img.ndim):
+                diff = ref.shape[dim] - img.shape[dim]
+                pad_width.append((max(diff, 0), 0))
+            if any(p != (0, 0) for p in pad_width):
+                img = np.pad(img, pad_width, constant_values=0)
+            img = img[tuple(slice(0, s) for s in (img.shape[0],) + ref.shape[1:])]
+        imgs.append(img)
+    return np.concatenate(imgs, axis=0)
+
+
+def virtually_concatenate_time_points(arrays: Sequence[np.ndarray],
+                                      output_path: str) -> None:
+    """Stream frame-major concatenation into one multi-page TIFF (reference
+    ``virtually_concatenate_time_points``, ``basic_image_manipulations.py:511-520``)."""
+    from tissue_image_processing_tpu.io.tiff import save_tiff
+
+    stacked = np.concatenate([np.asarray(a) for a in arrays], axis=0)
+    save_tiff(output_path, stacked, axes="TZCYX"[:stacked.ndim - 2] + "YX")
