@@ -49,9 +49,9 @@ def test_relabel_sequential():
 
 def _toy_labels():
     lab = np.zeros((32, 32), np.int32)
-    lab[2:12, 2:15] = 1
-    lab[2:12, 17:30] = 2
-    lab[14:28, 2:15] = 3
+    lab[2:13, 2:16] = 1
+    lab[2:13, 17:30] = 2
+    lab[14:28, 2:16] = 3
     lab[14:28, 17:30] = 4
     lab[13, :] = 0
     lab[:, 16] = 0

@@ -1,0 +1,282 @@
+"""Drift-corrected frame-to-frame cell tracking on device.
+
+TPU-native replacement for the reference's trackpy linking
+(``track_cells_iterator_with_trackpy``, ``tissue_info.py:1881-1938``): the movie is
+tracked as ONE ``lax.scan`` over frames. Per step, candidate links between the live
+track set and the current frame's cells are scored with trackpy's metric
+(sqrt(dy^2 + dx^2 + 0.5 (sqrt a1 - sqrt a2)^2), ``tissue_info.py:1935-1938``), gated
+at search_range, and resolved with a forward auction — a data-parallel assignment
+solver whose every round is dense (M x K) vector math, converging to the
+minimum-total-cost matching trackpy's subnet solver computes. Unmatched cells open new
+tracks; unmatched tracks persist for ``memory`` frames (trackpy memory=3), exactly the
+reference's configuration (search_range=100, adaptive_stop=10, memory=3).
+
+Drift correction matches the reference chain: cumulative per-frame global drifts from
+sub-pixel phase correlation (``update_drift``, ``tissue_info.py:1982-2035``) are added
+to the cell centroids before linking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tissue_image_processing_tpu.ops.drift import phase_cross_correlation
+
+__all__ = ["TrackingState", "link_frames", "track_movie", "compute_drift_chain",
+           "auction_assignment", "local_drift_field"]
+
+_NEG = -jnp.inf
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
+                       object_mask: jnp.ndarray, eps: float = 1e-3,
+                       max_rounds: int = 512) -> jnp.ndarray:
+    """Forward auction for the assignment problem.
+
+    Args:
+      benefit: (M, K) — value of assigning person m to object k; pairs that must not
+        match are -inf. Staying unassigned has value 0, so persons whose best
+        attainable net value is negative remain unassigned (trackpy's null link).
+    Returns (M,) object index per person, -1 if unassigned.
+    """
+    M, K = benefit.shape
+    b = jnp.where(person_mask[:, None] & object_mask[None, :], benefit, _NEG)
+
+    def cond(state):
+        _, _, _, again, rounds = state
+        return again & (rounds < max_rounds)
+
+    def body(state):
+        price, owner, person_obj, _, rounds = state
+        active = person_mask & (person_obj < 0)
+        vals = b - price[None, :]
+        v1 = jnp.max(vals, axis=1)
+        j1 = jnp.argmax(vals, axis=1)
+        vals2 = vals.at[jnp.arange(M), j1].set(_NEG)
+        v2 = jnp.max(vals2, axis=1)
+        bidding = active & (v1 >= 0.0)
+        incr = v1 - jnp.maximum(v2, 0.0) + eps
+        bid_price = price[j1] + incr
+        # resolve one winner per object: max bid, ties to the lowest person index
+        key = jnp.where(bidding, bid_price, _NEG)
+        obj_best = jax.ops.segment_max(key, j1, num_segments=K)
+        is_best = bidding & (key == obj_best[j1])
+        person_idx = jnp.arange(M)
+        first = jax.ops.segment_min(jnp.where(is_best, person_idx, M), j1,
+                                    num_segments=K)
+        winner = is_best & (person_idx == first[j1])
+        won_obj = j1
+        # evict previous owners of newly won objects (segment_sum: empty segments
+        # are 0 — segment_max's identity for int32 is INT_MIN which casts to True)
+        newly_won = jax.ops.segment_sum(winner.astype(jnp.int32), j1,
+                                        num_segments=K) > 0
+        evicted = (owner >= 0) & newly_won
+        person_obj = person_obj.at[jnp.where(evicted, owner, M)].set(-1, mode="drop")
+        # assign winners
+        person_obj = jnp.where(winner, won_obj, person_obj)
+        owner = owner.at[jnp.where(winner, won_obj, K)].set(
+            jnp.where(winner, person_idx, 0), mode="drop")
+        price = jnp.where(newly_won, obj_best, price)
+        again = jnp.any(bidding)
+        return price, owner, person_obj, again, rounds + 1
+
+    price0 = jnp.zeros((K,), jnp.float32)
+    owner0 = jnp.full((K,), -1, jnp.int32)
+    pobj0 = jnp.full((M,), -1, jnp.int32)
+    _, _, person_obj, _, _ = jax.lax.while_loop(
+        cond, body, (price0, owner0, pobj0, jnp.bool_(True), jnp.int32(0)))
+    return person_obj
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrackingState:
+    """Live track set (fixed capacity K)."""
+
+    pos: jnp.ndarray        # (K, 2) drift-corrected (cy, cx)
+    sqrt_area: jnp.ndarray  # (K,)
+    track_id: jnp.ndarray   # (K,) 0 = empty slot
+    age: jnp.ndarray        # (K,) frames since last seen (0 = just linked)
+    next_id: jnp.ndarray    # () next fresh track id
+
+    @classmethod
+    def empty(cls, capacity: int) -> "TrackingState":
+        return cls(pos=jnp.zeros((capacity, 2), jnp.float32),
+                   sqrt_area=jnp.zeros((capacity,), jnp.float32),
+                   track_id=jnp.zeros((capacity,), jnp.int32),
+                   age=jnp.zeros((capacity,), jnp.int32),
+                   next_id=jnp.int32(1))
+
+
+def _tracking_cost2(pos_p, sa_p, pos_c, sa_c, area_weight):
+    """Squared trackpy metric between track set (K) and current cells (M)."""
+    dy = pos_p[None, :, 0] - pos_c[:, None, 0]
+    dx = pos_p[None, :, 1] - pos_c[:, None, 1]
+    da = sa_p[None, :] - sa_c[:, None]
+    return dy * dy + dx * dx + area_weight * da * da
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "memory", "area_weight"))
+def link_frames(
+    state: TrackingState,
+    cy: jnp.ndarray, cx: jnp.ndarray, area: jnp.ndarray, mask: jnp.ndarray,
+    search_range: float = 100.0, memory: int = 3, area_weight: float = 0.5,
+) -> Tuple[TrackingState, jnp.ndarray]:
+    """Link one frame's cells (padded arrays of size M) to the live track set.
+
+    Returns (new_state, track_ids (M,)) — 0 where mask is False.
+    """
+    M = cy.shape[0]
+    K = state.pos.shape[0]
+    alive = (state.track_id > 0) & (state.age <= memory)
+    sa = jnp.sqrt(jnp.maximum(area, 0.0))
+    cost2 = _tracking_cost2(state.pos, state.sqrt_area,
+                            jnp.stack([cy, cx], 1), sa, area_weight)
+    sr2 = search_range * search_range
+    benefit = jnp.where(cost2 < sr2, sr2 - cost2, _NEG)
+    person_obj = auction_assignment(benefit, mask, alive)
+
+    matched = person_obj >= 0
+    safe_obj = jnp.clip(person_obj, 0, K - 1)
+    ids = jnp.where(matched, state.track_id[safe_obj], 0)
+    # fresh ids for unmatched cells
+    fresh_needed = mask & (~matched)
+    fresh_rank = jnp.cumsum(fresh_needed.astype(jnp.int32)) - 1
+    fresh_ids = state.next_id + fresh_rank
+    ids = jnp.where(fresh_needed, fresh_ids, ids)
+    new_next = state.next_id + jnp.sum(fresh_needed.astype(jnp.int32))
+
+    # rebuild the track set: current cells first (age 0), then unmatched live tracks
+    taken = jax.ops.segment_sum(matched.astype(jnp.int32),
+                                jnp.where(matched, safe_obj, K),
+                                num_segments=K + 1)[:K] > 0
+    leftover = alive & (~taken)
+    cand_pos = jnp.concatenate([jnp.stack([cy, cx], 1), state.pos], axis=0)
+    cand_sa = jnp.concatenate([sa, state.sqrt_area], axis=0)
+    cand_id = jnp.concatenate([ids, jnp.where(leftover, state.track_id, 0)], axis=0)
+    cand_age = jnp.concatenate([jnp.zeros((M,), jnp.int32), state.age + 1], axis=0)
+    cand_live = jnp.concatenate([mask, leftover & (state.age + 1 <= memory)], axis=0)
+    order = jnp.argsort(jnp.where(cand_live, cand_age, jnp.int32(1 << 30)),
+                        stable=True)[:K]
+    keep = cand_live[order]
+    new_state = TrackingState(
+        pos=jnp.where(keep[:, None], cand_pos[order], 0.0),
+        sqrt_area=jnp.where(keep, cand_sa[order], 0.0),
+        track_id=jnp.where(keep, cand_id[order], 0),
+        age=jnp.where(keep, cand_age[order], 0),
+        next_id=new_next,
+    )
+    return new_state, ids
+
+
+@functools.partial(jax.jit, static_argnames=("search_range", "memory", "area_weight",
+                                             "capacity"))
+def track_movie(
+    cy: jnp.ndarray, cx: jnp.ndarray, area: jnp.ndarray, mask: jnp.ndarray,
+    drifts: Optional[jnp.ndarray] = None,
+    frame_valid: Optional[jnp.ndarray] = None,
+    search_range: float = 100.0, memory: int = 3, area_weight: float = 0.5,
+    capacity: Optional[int] = None,
+) -> jnp.ndarray:
+    """Track a whole movie in one scan.
+
+    Args:
+      cy, cx, area, mask: (T, N) padded per-frame cell arrays (mask = valid,
+        non-empty cells — the reference links ``valid == 1 and empty_cell == 0``,
+        ``tissue_info.py:1903``).
+      drifts: optional (T, 2) per-frame (dy, dx) global drifts; cumulative sums are
+        added to centroids before linking (reference ``tissue_info.py:1908-1920``).
+      frame_valid: optional (T,) — invalid frames are skipped; track ages advance so
+        memory still applies across gaps (reference honors valid_frames).
+
+    Returns (T, N) int32 track ids (0 where masked out).
+    """
+    T, N = cy.shape
+    K = capacity or 2 * N
+    if drifts is None:
+        drifts = jnp.zeros((T, 2), jnp.float32)
+    if frame_valid is None:
+        frame_valid = jnp.ones((T,), bool)
+    cum = jnp.cumsum(jnp.where(frame_valid[:, None], drifts, 0.0), axis=0)
+    cy_c = cy + cum[:, 0:1]
+    cx_c = cx + cum[:, 1:2]
+
+    def step(state, inp):
+        fy, fx, fa, fm, fv = inp
+        fm = fm & fv
+
+        def do_link(s):
+            return link_frames(s, fy, fx, fa, fm, search_range=search_range,
+                               memory=memory, area_weight=area_weight)
+
+        def skip(s):
+            aged = dataclasses.replace(s, age=s.age + 1)
+            return aged, jnp.zeros((N,), jnp.int32)
+
+        return jax.lax.cond(fv, do_link, skip, state)
+
+    state0 = TrackingState.empty(K)
+    _, ids = jax.lax.scan(step, state0, (cy_c, cx_c, area, mask, frame_valid))
+    return jnp.where(mask & frame_valid[:, None], ids, 0)
+
+
+def compute_drift_chain(images: jnp.ndarray, upsample_factor: int = 100) -> jnp.ndarray:
+    """(T, H, W) frame stack -> (T, 2) per-frame drifts, drift[0] = 0.
+
+    drift[t] = phase correlation shift between frame t-1 and t — what must be added
+    to frame t to align it with frame t-1 (reference ``update_drift``,
+    ``tissue_info.py:1982-2035``, without stage priors)."""
+    prev = images[:-1]
+    cur = images[1:]
+    f = functools.partial(phase_cross_correlation, upsample_factor=upsample_factor)
+    shifts = jax.vmap(f)(prev, cur)
+    return jnp.concatenate([jnp.zeros((1, 2), jnp.float32), shifts], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size", "step_size",
+                                             "upsample_factor"))
+def local_drift_field(first: jnp.ndarray, second: jnp.ndarray,
+                      window_size: int = 700, step_size: int = 100,
+                      upsample_factor: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed drift field: overlapping (window_size) tiles on a step_size grid,
+    per-tile sub-pixel phase correlation, averaged per pixel (reference
+    ``fix_one_frame_tracking_using_local_drifts``, ``tissue_info.py:2149-2169``).
+
+    Returns (shift_y_map, shift_x_map) of the input shape.
+    """
+    H, W = first.shape
+    ys = list(range(0, max(H - window_size, 0) + 1, step_size)) or [0]
+    xs = list(range(0, max(W - window_size, 0) + 1, step_size)) or [0]
+    wy = min(window_size, H)
+    wx = min(window_size, W)
+    tiles1 = jnp.stack([
+        jax.lax.dynamic_slice(first, (y, x), (wy, wx)) for y in ys for x in xs])
+    tiles2 = jnp.stack([
+        jax.lax.dynamic_slice(second, (y, x), (wy, wx)) for y in ys for x in xs])
+    f = functools.partial(phase_cross_correlation, upsample_factor=upsample_factor)
+    shifts = jax.vmap(f)(tiles1, tiles2)  # (n_tiles, 2)
+    sy = jnp.zeros((H, W))
+    sx = jnp.zeros((H, W))
+    cnt = jnp.zeros((H, W))
+    i = 0
+    for y in ys:
+        for x in xs:
+            patch = jnp.ones((wy, wx))
+            sy = jax.lax.dynamic_update_slice(
+                sy, jax.lax.dynamic_slice(sy, (y, x), (wy, wx)) + shifts[i, 0] * patch,
+                (y, x))
+            sx = jax.lax.dynamic_update_slice(
+                sx, jax.lax.dynamic_slice(sx, (y, x), (wy, wx)) + shifts[i, 1] * patch,
+                (y, x))
+            cnt = jax.lax.dynamic_update_slice(
+                cnt, jax.lax.dynamic_slice(cnt, (y, x), (wy, wx)) + patch, (y, x))
+            i += 1
+    cnt = jnp.maximum(cnt, 1.0)
+    return sy / cnt, sx / cnt
