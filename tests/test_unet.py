@@ -1,0 +1,136 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tissue_image_processing_tpu.models.unet import UNet, build_unet
+from tissue_image_processing_tpu.models.predictor import (
+    SegmentationPredictor, find_desired_shape, unet_postprocess)
+
+
+def test_find_desired_shape():
+    assert find_desired_shape(100, 257) == (128, 512)
+    assert find_desired_shape(256, 256) == (256, 256)
+    assert find_desired_shape(1, 1) == (1, 1)
+
+
+def test_unet_shapes_and_softmax():
+    model, variables = build_unet((64, 64, 2), depth=2, base_filters=8)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 2)), jnp.float32)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 64, 64, 2)
+    np.testing.assert_allclose(np.asarray(out).sum(-1), 1.0, atol=1e-5)
+
+
+def test_unet_train_step_reduces_loss():
+    from tissue_image_processing_tpu.models.train import (
+        create_train_state, make_train_step)
+    model = UNet(depth=2, base_filters=8, dtype=jnp.float32)
+    state, tx = create_train_state(model, (32, 32, 2), learning_rate=1e-2)
+    step = make_train_step(model, tx)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((4, 32, 32, 2)), jnp.float32)
+    y_cls = (np.asarray(x[..., 0]) > 0.5).astype(np.float32)
+    y = jnp.asarray(np.stack([y_cls, 1 - y_cls], -1))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        state, loss, acc = step(state, x, y, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_crop_generator_policy():
+    from tissue_image_processing_tpu.models.train import crop_generator
+    rng = np.random.default_rng(0)
+    img = rng.random((2, 300, 320)).astype(np.float32)
+    lab = rng.integers(1, 3, (300, 320)).astype(np.int32)
+    lab[:, ::7] = 0  # some boundary
+    gen = crop_generator([img], [lab], batch_size=3, crop=64)
+    bx, by = next(gen)
+    assert bx.shape == (3, 64, 64, 2) and by.shape == (3, 64, 64, 2)
+    assert bx.max() <= 1.0 + 1e-6
+    # one-hot consistency: each pixel has at most one positive channel
+    assert (by.sum(-1) <= 1 + 1e-6).all()
+
+
+def test_crop_generator_rejects_boundary_heavy():
+    from tissue_image_processing_tpu.models.train import crop_generator
+    rng = np.random.default_rng(0)
+    img = rng.random((2, 300, 300)).astype(np.float32)
+    lab = np.zeros((300, 300), np.int32)  # all boundary
+    lab[:150] = 1  # top half usable
+    gen = crop_generator([img], [lab], batch_size=2, crop=64, seed=1)
+    bx, by = next(gen)
+    # all crops must come from the usable half (boundary fraction < 0.3)
+    assert (by.sum((1, 2, 3)) > 0.7 * 64 * 64).all()
+
+
+def test_keras_weight_import_parity(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    from tissue_image_processing_tpu.models.weights_io import load_keras_unet_weights
+
+    def double_conv_block(x, n):
+        x = tf.keras.layers.Conv2D(n, 3, padding="same", activation="relu")(x)
+        x = tf.keras.layers.BatchNormalization(axis=-1)(x)
+        x = tf.keras.layers.Conv2D(n, 3, padding="same", activation="relu")(x)
+        x = tf.keras.layers.BatchNormalization(axis=-1)(x)
+        return x
+
+    def downsample_block(x, n):
+        f = double_conv_block(x, n)
+        p = tf.keras.layers.MaxPool2D(2)(f)
+        p = tf.keras.layers.Dropout(0.3)(p)
+        return f, p
+
+    def upsample_block(x, conv_features, n):
+        x = tf.keras.layers.Conv2DTranspose(n, 3, 2, padding="same")(x)
+        x = tf.keras.layers.concatenate([x, conv_features])
+        x = tf.keras.layers.Dropout(0.3)(x)
+        return double_conv_block(x, n)
+
+    inputs = tf.keras.layers.Input(shape=(32, 32, 2))
+    f1, p1 = downsample_block(inputs, 8)
+    f2, p2 = downsample_block(p1, 16)
+    bottleneck = double_conv_block(p2, 32)
+    u2 = upsample_block(bottleneck, f2, 16)
+    u3 = upsample_block(u2, f1, 8)
+    outputs = tf.keras.layers.Conv2D(2, 1, padding="same", activation="softmax")(u3)
+    kmodel = tf.keras.Model(inputs, outputs)
+    wpath = os.path.join(tmp_path, "w.weights.h5")
+    kmodel.save_weights(wpath)
+
+    model, variables = build_unet((32, 32, 2), depth=2, base_filters=8)
+    variables = load_keras_unet_weights(variables, wpath)
+    x = np.random.default_rng(0).random((1, 32, 32, 2)).astype(np.float32)
+    want = kmodel(x, training=False).numpy()
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_predictor_end_to_end():
+    rng = np.random.default_rng(0)
+    img = (rng.random((2, 100, 120)) * 60000).astype(np.float32)
+    pred = SegmentationPredictor(None, img.shape, depth=2, base_filters=8,
+                                 dtype=jnp.float32)
+    labels, hc = pred.predict(img)
+    assert labels.shape == (120, 100)  # x-major, reference convention
+    assert hc.shape == (120, 100)
+    assert int(jnp.max(labels)) >= 1
+
+
+def test_unet_postprocess_geometry():
+    # synthetic prediction: two HC blobs on class-0 channel
+    pred = np.zeros((64, 64, 2), np.float32)
+    pred[..., 1] = 1.0
+    pred[8:24, 8:24, 0] = 0.9
+    pred[40:60, 30:60, 0] = 0.9
+    labels, hc = unet_postprocess(jnp.asarray(pred))
+    hc = np.asarray(hc)
+    assert hc[12, 12] and hc[50, 45]
+    assert not hc[0, 0]
+    lab = np.asarray(labels)
+    assert lab.max() >= 2  # at least both blobs and background separated

@@ -1,0 +1,111 @@
+"""U-Net segmentation predictor with watershed post-processing.
+
+Rebuild of the reference ``SegmentationPredictor``
+(``Segmentation/prediction_local.py:74-199``), minus its hard-coded debug TIFF dumps:
+
+1. per-channel 1-99 percentile normalization (``:21-29``);
+2. transpose (C, Y, X) -> (1, X, Y, C) — the reference's segmentation pipeline runs
+   in x-major space (``:102-104``) — and front-pad to the next power of two (``:116``);
+3. U-Net forward pass (Flax; bfloat16 on the MXU), unpad;
+4. post-process (``:167-194``): threshold channel 0 at 0.1 -> HC mask; the
+   reference's 101 dilation/erosion rounds with a 5x5 kernel are an iterated binary
+   closing, which is idempotent -> a single closing; erosion(7x7); boundary =
+   closed - eroded, dilated; watershed with lines -> (labels, HC mask).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tissue_image_processing_tpu.models.unet import UNet, build_unet
+from tissue_image_processing_tpu.models.weights_io import load_keras_unet_weights
+from tissue_image_processing_tpu.ops.brightness import normalize_channel
+from tissue_image_processing_tpu.ops.morphology import (
+    binary_closing, binary_dilation, binary_erosion)
+from tissue_image_processing_tpu.ops.watershed import watershed
+
+__all__ = ["SegmentationPredictor", "find_desired_shape", "unet_postprocess"]
+
+
+def find_desired_shape(shape_y: int, shape_x: int) -> Tuple[int, int]:
+    """Smallest powers of two >= the given sizes (reference
+    ``prediction_local.py:10-19``)."""
+    def pow2(n):
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+    return pow2(shape_y), pow2(shape_x)
+
+
+@functools.partial(jax.jit, static_argnames=("hc_threshold", "closing_kernel",
+                                             "erosion_kernel"))
+def unet_postprocess(predictions: jnp.ndarray, hc_threshold: float = 0.1,
+                     closing_kernel: int = 5, erosion_kernel: int = 7):
+    """(H, W, 2) softmax output -> (labels, HC mask) via the reference's morphology
+    chain (``prediction_local.py:167-194``)."""
+    hc_b = predictions[..., 0] > hc_threshold
+    closed = binary_closing(hc_b, closing_kernel)
+    hc = binary_erosion(closed, erosion_kernel)
+    bound = closed & (~hc)
+    boundary = binary_dilation(bound, closing_kernel)
+    labels = watershed(boundary.astype(jnp.float32), watershed_line=True)
+    return labels, hc
+
+
+class SegmentationPredictor:
+    """Predict a (C=2, Y, X) membrane/marker frame -> (labels, HC mask), both in the
+    reference's transposed (X, Y) space."""
+
+    def __init__(self, model_weights_path: Optional[str], image_shape,
+                 depth: int = 3, base_filters: int = 128, dtype=jnp.bfloat16,
+                 variables=None):
+        sy, sx = find_desired_shape(image_shape[-2], image_shape[-1])
+        self.model_shape = (sx, sy, 2)  # x-major like the reference
+        self.dtype = dtype
+        self.model = UNet(depth=depth, base_filters=base_filters, dtype=dtype)
+        if variables is None:
+            _, variables = build_unet(self.model_shape, depth=depth,
+                                      base_filters=base_filters, dtype=dtype)
+            if model_weights_path:
+                variables = load_keras_unet_weights(variables, model_weights_path)
+        self.variables = variables
+        self._apply = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+
+    def prepare_image(self, image: np.ndarray):
+        """(C, Y, X) -> front-padded (1, X', Y', C) model input
+        (reference ``prepare_image``, ``prediction_local.py:90-122``)."""
+        image = jnp.asarray(image)
+        normalized = jax.vmap(normalize_channel)(image)
+        x_major = jnp.transpose(normalized)  # (X, Y, C)
+        sx, sy = x_major.shape[0], x_major.shape[1]
+        px, py = find_desired_shape(sx, sy)
+        npad = ((px - sx, 0), (py - sy, 0), (0, 0))
+        padded = jnp.pad(x_major, npad)[None]
+        return padded, ((0, 0),) + npad
+
+    def predict(self, image: np.ndarray):
+        padded, npad = self.prepare_image(image)
+        pred = self._apply(self.variables, padded)
+        unpadded = pred[0, npad[1][0]:, npad[2][0]:, :]
+        labels, hc = unet_postprocess(unpadded)
+        return labels, hc
+
+    def predict_batch(self, images: jnp.ndarray):
+        """(B, C, Y, X) equally-sized batch -> (B, X, Y) labels + (B, X, Y) HC —
+        the TPU path for multi-frame segmentation (one forward pass, vmapped
+        post-process)."""
+        def one(img):
+            padded, npad = self.prepare_image(img)
+            return padded[0], npad
+        padded0, npad = self.prepare_image(images[0])
+        batch = jnp.stack([self.prepare_image(i)[0][0] for i in images])
+        preds = self._apply(self.variables, batch)
+        preds = preds[:, npad[1][0]:, npad[2][0]:, :]
+        labels, hc = jax.vmap(unet_postprocess)(preds)
+        return labels, hc
