@@ -1,0 +1,134 @@
+"""End-to-end benchmark: projection -> segmentation -> tracking on TPU.
+
+BASELINE.md north star: >= 50 frames/sec end-to-end on 1024^2 x 30 z-stacks on one
+v5e chip. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N/50}.
+
+Usage: python bench.py [--frames 8] [--size 1024] [--zdepth 30] [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_movie(T, Z, H, W, n_cells=600, seed=0):
+    """Synthetic drifting epithelial movie: membrane ridges at a smooth z-surface."""
+    rng = np.random.default_rng(seed)
+    pts = np.stack([rng.uniform(0, H, n_cells), rng.uniform(0, W, n_cells)], 1)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    depth = (Z / 2 + (Z / 4) * np.sin(yy / 301.0) * np.cos(xx / 407.0)).astype(np.float32)
+    zz = np.arange(Z, dtype=np.float32).reshape(Z, 1, 1)
+    frames = np.empty((T, 2, Z, H, W), np.float32)
+    for t in range(T):
+        p = pts + t * np.array([1.5, -1.0]) + rng.normal(0, 0.2, pts.shape)
+        # 2-D membrane ridge image via two nearest seeds
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(p)
+        d, _ = tree.query(np.stack([yy.ravel(), xx.ravel()], 1), k=2)
+        ridge = np.exp(-((d[:, 1] - d[:, 0]) ** 2) / 8.0).reshape(H, W).astype(np.float32)
+        zprofile = np.exp(-((zz - depth) ** 2) / 2.0)  # (Z, H, W)
+        membrane = ridge[None] * zprofile * 50000
+        marker = (1 - ridge[None]) * zprofile * 20000
+        frames[t, 0] = membrane + rng.normal(0, 200, (Z, H, W))
+        frames[t, 1] = marker + rng.normal(0, 200, (Z, H, W))
+    return np.clip(frames, 0, 65535)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--zdepth", type=int, default=30)
+    p.add_argument("--capacity", type=int, default=4096)
+    p.add_argument("--quick", action="store_true", help="256^2 x 8 smoke run")
+    args = p.parse_args(argv)
+    if args.quick:
+        args.size, args.zdepth, args.frames, args.capacity = 256, 8, 4, 512
+
+    import jax
+    import jax.numpy as jnp
+
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+    from tissue_image_processing_tpu.core.tracking import (
+        compute_drift_chain, track_movie)
+    from tissue_image_processing_tpu.ops.watershed import watershed_segmentation
+    from tissue_image_processing_tpu.projection.surface import (
+        time_point_surface_projection)
+
+    T, Z, H, W = args.frames, args.zdepth, args.size, args.size
+    print(f"# building synthetic movie T={T} Z={Z} {H}x{W} ...", file=sys.stderr)
+    movie = make_movie(T, Z, H, W)
+
+    cap = args.capacity
+
+    @jax.jit
+    def pipeline_step(stack):
+        proj, zmap = time_point_surface_projection(
+            stack, reference_channel=0, airyscan=False)
+        labels = watershed_segmentation(proj[0], 0.2, 3.0, 101)
+        table = frame_cellinfo(labels, capacity=cap)
+        return (proj[0], labels, zmap, table.cy, table.cx, table.area,
+                table.valid_mask())
+
+    # warmup / compile
+    print("# compiling pipeline ...", file=sys.stderr)
+    stack0 = jnp.asarray(movie[0])
+    t_compile = time.time()
+    out0 = pipeline_step(stack0)
+    jax.block_until_ready(out0)
+    print(f"# pipeline compile+first run: {time.time() - t_compile:.1f}s",
+          file=sys.stderr)
+    drift_warm = compute_drift_chain(jnp.stack([out0[0], out0[0]]))
+    jax.block_until_ready(drift_warm)
+    track_warm = track_movie(
+        jnp.zeros((2, cap)), jnp.zeros((2, cap)), jnp.zeros((2, cap)),
+        jnp.zeros((2, cap), bool), drifts=jnp.zeros((2, 2)), capacity=2 * cap)
+    jax.block_until_ready(track_warm)
+
+    # timed end-to-end: host->device transfer + proj + seg + tables per frame,
+    # then drift chain + whole-movie tracking
+    t0 = time.time()
+    projs, cys, cxs, areas, masks = [], [], [], [], []
+    for t in range(T):
+        stack = jnp.asarray(movie[t])
+        proj0, labels, zmap, cy, cx, area, mask = pipeline_step(stack)
+        projs.append(proj0)
+        cys.append(cy)
+        cxs.append(cx)
+        areas.append(area)
+        masks.append(mask)
+    drifts = compute_drift_chain(jnp.stack(projs))
+    ids = track_movie(jnp.stack(cys), jnp.stack(cxs), jnp.stack(areas),
+                      jnp.stack(masks), drifts=drifts, capacity=2 * cap)
+    jax.block_until_ready(ids)
+    elapsed = time.time() - t0
+    fps = T / elapsed
+
+    ids_np = np.asarray(ids)
+    n_cells = int((ids_np > 0).sum(1).mean())
+    cont = []
+    for t in range(T - 1):
+        a = set(ids_np[t][ids_np[t] > 0].tolist())
+        b = set(ids_np[t + 1][ids_np[t + 1] > 0].tolist())
+        cont.append(len(a & b) / max(len(a), 1))
+    print(f"# {T} frames in {elapsed:.2f}s; ~{n_cells} cells/frame; "
+          f"track continuity {np.mean(cont):.3f}", file=sys.stderr)
+
+    result = {
+        "metric": "e2e_frames_per_sec_proj_seg_track_1024x1024x30"
+        if not args.quick else "e2e_frames_per_sec_quick",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 50.0, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -96,3 +96,18 @@ def test_resize_shape():
     x = np.arange(12, dtype=np.float32).reshape(3, 4)
     out = np.asarray(resize_bilinear(x, (6, 8)))
     assert out.shape == (6, 8)
+
+
+def test_gaussian_blur_large_sigma_matmul_path(rng):
+    # sigma >= ~8 takes the banded-matmul (MXU) path; must stay exact vs scipy
+    x = rng.standard_normal((40, 200)).astype(np.float32)
+    got = np.asarray(gaussian_blur(x, (3.0, 30.0)))
+    want = ndi.gaussian_filter(x.astype(np.float64), (3.0, 30.0), mode="nearest")
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_gaussian_blur_matmul_path_3d(rng):
+    x = rng.standard_normal((4, 64, 100)).astype(np.float32)
+    got = np.asarray(gaussian_blur(x, (0.5, 30.0, 30.0)))
+    want = ndi.gaussian_filter(x.astype(np.float64), (0.5, 30.0, 30.0), mode="nearest")
+    np.testing.assert_allclose(got, want, atol=3e-5)

@@ -1,0 +1,223 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tissue_image_processing_tpu.core.tissue import Tissue
+from tissue_image_processing_tpu.core.cell_table import is_positive_for_type
+from tissue_image_processing_tpu.core import features as F
+
+
+def grid_labels(H=64, W=64, rows=6, cols=6):
+    """6x6 grid of cells separated by 1px lines (cells >= 2 rings from the border
+    exist so edge-suppressed event detection can fire)."""
+    lab = np.zeros((H, W), np.int32)
+    ch, cw = H // rows, W // cols
+    k = 1
+    for r in range(rows):
+        for c in range(cols):
+            lab[r * ch + 1:(r + 1) * ch, c * cw + 1:(c + 1) * cw] = k
+            k += 1
+    return lab
+
+
+def make_tissue(T=4, capacity=64, delaminate=None, divide=None):
+    """A movie of grid cells; optionally remove cell at frame (delamination) or
+    split one cell into two (division)."""
+    tissue = Tissue(T, "test_session", channel_names=["zo", "atoh"],
+                    capacity=capacity)
+    for f in range(1, T + 1):
+        lab = grid_labels()
+        if delaminate and f >= delaminate[1]:
+            # merge cell `delaminate[0]` into its right neighbor
+            gone = delaminate[0]
+            lab[lab == gone] = gone + 1
+        if divide and f >= divide[1]:
+            cell = divide[0]
+            ys, xs = np.nonzero(lab == cell)
+            mid = (ys.min() + ys.max()) // 2
+            new = lab.max() + 1
+            sel = (lab == cell) & (np.arange(lab.shape[0])[:, None] > mid)
+            lab[sel] = new
+            lab[(lab == cell) & (np.arange(lab.shape[0])[:, None] == mid)] = 0
+        tissue.set_labels(f, lab)
+        tissue.calculate_frame_cellinfo(f)
+    return tissue
+
+
+def test_frame_analysis_and_tracking():
+    tissue = make_tissue()
+    tissue.track_cells()
+    t1 = tissue.get_cells_info(1)
+    t4 = tissue.get_cells_info(4)
+    ids1 = np.asarray(t1.label)[np.asarray(t1.valid_mask())]
+    ids4 = np.asarray(t4.label)[np.asarray(t4.valid_mask())]
+    assert set(ids1.tolist()) == set(ids4.tolist())
+
+
+def test_cell_types_classification():
+    tissue = make_tissue(T=1)
+    lab = tissue.get_labels(1)
+    marker = np.zeros(lab.shape, np.float32)
+    hc_cells = [1, 6, 11, 16]
+    for c in hc_cells:
+        marker[lab == c] = 1000.0
+    marker += np.random.default_rng(0).random(lab.shape).astype(np.float32)
+    tissue.calc_cell_types(marker, 1, "HC", threshold=0.1)
+    table = tissue.get_cells_info(1)
+    pos = np.asarray(is_positive_for_type(np.asarray(table.type), 0))
+    exists = np.asarray(table.empty_cell) == 0
+    got_hc = set((np.nonzero(pos & exists)[0] + 1).tolist())
+    assert got_hc == set(hc_cells)
+    # type map painted
+    cm = tissue.get_cell_types(1)
+    assert cm[lab == 1].max() == 1
+    assert cm[lab == 2].max() == 0
+    assert (cm[lab == 0] == 255).all()
+
+
+def test_event_detection_delamination():
+    tissue = make_tissue(T=5, delaminate=(15, 3))
+    tissue.track_cells()
+    tissue.find_events()
+    ev = tissue.get_events()
+    delams = ev.query('type == "delamination"')
+    assert len(delams) >= 1
+    # one of the merged pair's track ids disappears (the merged centroid is
+    # equidistant from both old tracks, so either assignment is a valid matching)
+    t2 = tissue.get_cells_info(2)
+    merged_ids = {int(np.asarray(t2.label)[14]), int(np.asarray(t2.label)[15])}
+    assert merged_ids & set(int(v) for v in delams.cell_id.values)
+
+
+def test_event_detection_division():
+    tissue = make_tissue(T=5, divide=(15, 3))
+    tissue.track_cells()
+    tissue.find_events()
+    ev = tissue.get_events()
+    divs = ev.query('type == "division"')
+    assert len(divs) >= 1
+    assert (divs.daughter_id > 0).all()
+
+
+def test_event_detection_differentiation():
+    tissue = make_tissue(T=6)
+    tissue.track_cells()
+    # cell 15 (doubly interior) becomes HC-positive at frame 4
+    for f in range(1, 7):
+        lab = tissue.get_labels(f)
+        marker = np.ones(lab.shape, np.float32)
+        if f >= 4:
+            marker[lab == 15] = 1000.0
+        marker[lab == 22] = 1000.0  # always-HC cell
+        tissue.calc_cell_types(marker, f, "HC", threshold=0.3)
+    tissue.find_events()
+    ev = tissue.get_events()
+    diffs = ev.query('type == "differentiation"')
+    t3 = tissue.get_cells_info(3)
+    expected_id = int(np.asarray(t3.label)[14])
+    assert expected_id in diffs.cell_id.values
+
+
+def test_fix_cell_types_after_tracking():
+    tissue = make_tissue(T=30)
+    tissue.track_cells()
+    rng = np.random.default_rng(0)
+    for f in range(1, 31):
+        lab = tissue.get_labels(f)
+        marker = np.ones(lab.shape, np.float32)
+        marker[lab == 22] = 1000.0          # stable HC
+        if f == 15:
+            marker[lab == 2] = 1000.0       # one-frame glitch on cell 2
+        if f >= 16:
+            marker[lab == 15] = 1000.0      # true differentiation at frame 16
+        tissue.calc_cell_types(marker, f, "HC", threshold=0.3)
+    tissue.fix_cell_types_after_tracking(min_frame_for_diff_detection=5)
+    # glitch removed: cell 2 is SC at frame 15 after repair
+    t15 = tissue.get_cells_info(15)
+    assert int(np.asarray(t15.type)[1]) == 0
+    # differentiating cell: SC before, HC after
+    t10 = tissue.get_cells_info(10)
+    t25 = tissue.get_cells_info(25)
+    assert int(np.asarray(t10.type)[14]) == 0
+    assert int(np.asarray(t25.type)[14]) == 1
+
+
+def test_seg_save_load_roundtrip(tmp_path):
+    tissue = make_tissue(T=2)
+    tissue.track_cells()
+    tissue.type_names = ["HC"]
+    tissue.drifts[1] = (1.5, -2.0)
+    path = os.path.join(tmp_path, "session.seg")
+    for _ in tissue.save(path):
+        pass
+    assert os.path.exists(path)
+
+    fresh = Tissue(2, os.path.join(tmp_path, "other"), channel_names=[],
+                   capacity=64)
+    for _ in fresh.load(path):
+        pass
+    np.testing.assert_array_equal(fresh.get_labels(1), tissue.get_labels(1))
+    np.testing.assert_allclose(fresh.drifts, tissue.drifts)
+    assert fresh.type_names == ["HC"]
+    a = tissue.get_cells_info(1)
+    b = fresh.get_cells_info(1)
+    np.testing.assert_allclose(np.asarray(a.area), np.asarray(b.area))
+    np.testing.assert_array_equal(np.asarray(a.label), np.asarray(b.label))
+    tissue.clean_up()
+    fresh.clean_up()
+
+
+def test_features_basic():
+    tissue = make_tissue(T=1)
+    table = tissue.get_cells_info(1)
+    r = np.asarray(F.roundness(table))
+    s = np.asarray(F.shape_index(table))
+    exists = np.asarray(table.empty_cell) == 0
+    assert (r[exists] > 0).all() and (r[exists] < 1.2).all()
+    # squares: shape index = 4L/L = 4ish
+    assert abs(np.median(s[exists]) - 4.0) < 0.6
+    mask = jnp.asarray(exists)
+    assert float(F.total_area(table, mask)) == np.asarray(table.area)[exists].sum()
+    d = float(F.density(table, mask))
+    assert d > 0
+    # neighbors-from-type: give half the cells type bit 0
+    import dataclasses
+    types = np.zeros(table.capacity, np.uint8)
+    types[::2] = 1
+    t2 = dataclasses.replace(table, type=jnp.asarray(types))
+    nn = np.asarray(F.n_neighbors_from_type(t2, 0, True))
+    assert nn[exists].sum() > 0
+    corr = float(F.neighbors_correlation(t2, jnp.asarray((types == 1).astype(np.float32)),
+                                         jnp.asarray(exists)))
+    assert -1.1 < corr < 1.1
+
+
+def test_features_psi6_hex():
+    # perfect hexagonal arrangement around a center cell -> psi6 ~ 1
+    from tissue_image_processing_tpu.core.cell_table import CellTable
+    import dataclasses
+    table = CellTable.empty(8, 8)
+    angles = np.arange(6) * np.pi / 3
+    cx = np.zeros(8, np.float32)
+    cy = np.zeros(8, np.float32)
+    cx[1:7] = 10 * np.cos(angles)
+    cy[1:7] = 10 * np.sin(angles)
+    nbr = np.zeros((8, 8), np.int32)
+    nbr[0, :6] = np.arange(2, 8)
+    table = dataclasses.replace(
+        table, cx=jnp.asarray(cx), cy=jnp.asarray(cy), neighbors=jnp.asarray(nbr))
+    psi = np.asarray(F.psi_n(table, table.neighbors, 6))
+    assert abs(psi[0] - 1.0) < 1e-4
+
+
+def test_spatial_map():
+    tissue = make_tissue(T=1)
+    table = tissue.get_cells_info(1)
+    exists = np.asarray(table.empty_cell) == 0
+    vals = jnp.asarray(exists.astype(np.float32))
+    m = F.spatial_map(table, (64, 64), window_radius=20.0, step_size=16,
+                      values=vals, mask=jnp.asarray(exists), feature="mean")
+    assert m.shape == (64, 64)
+    assert float(jnp.max(m)) <= 1.0

@@ -1,0 +1,528 @@
+"""The Tissue session: per-frame artifacts, persistence, and the public analysis API.
+
+Host-side shell replacing the reference's GUI-centric ``Tissue`` class
+(``tissue_info.py:193-4333``). Artifacts per frame are (labels map, cell-types map,
+CellTable); heavy math is delegated to the jitted kernels (segmentation, regionprops,
+tracking, features). Persistence is .seg-compatible: a working directory of
+``frame_N_labels.npy`` / ``frame_N_types.npy`` / ``frame_N_data.pkl`` (pandas
+pickles) plus ``events_data.pkl``, ``drifts.npy``, ``valid_frames.npy``,
+``shape_fitting_data.json``, ``cell_type_names.pkl``, ``channel_names.pkl``,
+``fake_channels.pkl``, zipped into a ``.seg`` archive
+(reference ``tissue_info.py:110-139,3462-3756``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import zipfile
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+import jax.numpy as jnp
+
+from tissue_image_processing_tpu.core.cell_table import (
+    CellTable, frame_cellinfo, INVALID_TYPE_INDEX, is_positive_for_type, change_type)
+from tissue_image_processing_tpu.core import features as F
+from tissue_image_processing_tpu.ops.percentile import segment_percentile, percentile
+from tissue_image_processing_tpu.ops.regionprops import regionprops
+from tissue_image_processing_tpu.ops.neighbors import contact_length_matrix
+from tissue_image_processing_tpu.ops.filters import gaussian_blur
+from tissue_image_processing_tpu.ops.morphology import maximum_filter
+
+EVENTS_INFO_SPEC = {
+    "type": "TBA", "start_frame": 0, "end_frame": 0, "start_pos_x": 0,
+    "start_pos_y": 0, "end_pos_x": 0, "end_pos_y": 0, "daughter_pos_x": 0,
+    "daughter_pos_y": 0, "cell_id": 0, "daughter_id": 0, "significant_frame": 0,
+    "source": "manual",
+}
+
+EVENT_TYPES = ["ablation", "division", "delamination", "differentiation",
+               "promoted differentiation"]
+
+
+def get_temp_directory(name: str) -> str:
+    postfix = 1
+    temp_dir = f"{name}_temp{postfix}"
+    while os.path.exists(temp_dir):
+        postfix += 1
+        temp_dir = f"{name}_temp{postfix}"
+    return temp_dir
+
+
+def pack_archive_with_progress(dirname: str, zipname: str) -> Iterator[float]:
+    """Zip a directory, yielding percent progress (reference
+    ``tissue_info.py:110-131``)."""
+    files = []
+    total = 0
+    for root, _, names in os.walk(dirname):
+        for fname in names:
+            path = os.path.join(root, fname)
+            files.append(path)
+            total += os.path.getsize(path)
+    current = 0
+    with zipfile.ZipFile(zipname, "w", zipfile.ZIP_DEFLATED) as z:
+        for path in files:
+            yield 100 * current / max(total, 1)
+            z.write(path, arcname=os.path.basename(path))
+            current += os.path.getsize(path)
+
+
+def unpack_archive_with_progress(source: str, target: str) -> Iterator[float]:
+    with zipfile.ZipFile(source, "r") as zip_ref:
+        names = zip_ref.namelist()
+        for index, file in enumerate(names):
+            zip_ref.extract(file, target)
+            yield 100 * index / max(len(names), 1)
+
+
+class Tissue:
+    """Session state for one movie's analysis."""
+
+    CELL_TYPES = ["all"]
+    FITTING_SHAPES = ["ellipse", "circle", "circle arc", "line", "spline"]
+    EVENT_TYPES = EVENT_TYPES
+
+    def __init__(self, number_of_frames: int, data_path: str,
+                 channel_names: Optional[List[str]] = None,
+                 max_cell_area: float = 10.0, min_cell_area: float = 0.1,
+                 capacity: int = 4096, max_neighbors: int = 64,
+                 use_working_dir: bool = False):
+        self.number_of_frames = number_of_frames
+        self.data_path = data_path
+        self.channel_names = list(channel_names or [])
+        self.type_names: List[str] = []
+        self.fake_channels: List[int] = []
+        self.max_cell_area = max_cell_area
+        self.min_cell_area = min_cell_area
+        self.capacity = capacity
+        self.max_neighbors = max_neighbors
+        self.events = pd.DataFrame(columns=list(EVENTS_INFO_SPEC.keys()))
+        self.drifts = np.zeros((number_of_frames, 2))
+        self.valid_frames = np.ones((number_of_frames,), int)
+        self.shape_fitting_results: List[Dict] = [dict() for _ in range(number_of_frames)]
+        self.cells_number = 0
+        self._labels: List[Optional[np.ndarray]] = [None] * number_of_frames
+        self._cell_types: List[Optional[np.ndarray]] = [None] * number_of_frames
+        self._tables: List[Optional[CellTable]] = [None] * number_of_frames
+        self.working_dir = None
+        if use_working_dir:
+            self.working_dir = get_temp_directory(data_path)
+            os.makedirs(self.working_dir, exist_ok=True)
+        self.stage_locations = self.load_stage_locations()
+        self.height_maps = self.load_height_map()
+
+    # ---------------- frame artifact accessors (1-based frames, like the reference)
+
+    def _check(self, frame: int):
+        if not (1 <= frame <= self.number_of_frames):
+            raise IndexError(f"frame {frame} out of range")
+
+    def get_labels(self, frame: int) -> Optional[np.ndarray]:
+        self._check(frame)
+        return self._labels[frame - 1]
+
+    def set_labels(self, frame: int, labels, reset_data: bool = False):
+        self._check(frame)
+        self._labels[frame - 1] = np.asarray(labels)
+        if reset_data:
+            self._tables[frame - 1] = None
+            self._cell_types[frame - 1] = None
+
+    def get_cell_types(self, frame: int) -> Optional[np.ndarray]:
+        self._check(frame)
+        return self._cell_types[frame - 1]
+
+    def set_cell_types(self, frame: int, cell_types):
+        self._check(frame)
+        self._cell_types[frame - 1] = np.asarray(cell_types)
+
+    def get_cells_info(self, frame: int) -> Optional[CellTable]:
+        self._check(frame)
+        return self._tables[frame - 1]
+
+    def set_cells_info(self, frame: int, table: CellTable):
+        self._check(frame)
+        self._tables[frame - 1] = table
+
+    def is_frame_valid(self, frame: int) -> bool:
+        return bool(self.valid_frames[frame - 1] == 1) if 1 <= frame <= self.number_of_frames else False
+
+    def set_validity_of_frame(self, frame: int, valid: bool = True):
+        self.valid_frames[frame - 1] = int(valid)
+
+    def get_number_of_valid_frames(self) -> int:
+        return int(np.sum(self.valid_frames))
+
+    def is_segmented(self, frame: int) -> bool:
+        return self.get_labels(frame) is not None
+
+    def is_analyzed(self, frame: int) -> bool:
+        return self.get_cells_info(frame) is not None
+
+    def get_segmentation(self, frame: int) -> Optional[np.ndarray]:
+        labels = self.get_labels(frame)
+        return None if labels is None else (labels == 0).astype(int)
+
+    # ---------------- segmentation + per-frame analysis
+
+    def calculate_frame_cellinfo(self, frame: int) -> int:
+        """Device regionprops + neighbors for one frame (reference
+        ``tissue_info.py:880-909``)."""
+        labels = self.get_labels(frame)
+        if labels is None:
+            return 0
+        table = frame_cellinfo(jnp.asarray(labels.astype(np.int32)),
+                               capacity=self.capacity,
+                               max_neighbors=self.max_neighbors,
+                               min_cell_area=self.min_cell_area,
+                               max_cell_area=self.max_cell_area)
+        self.set_cells_info(frame, table)
+        return 0
+
+    def type_name_to_index(self, type_name: str):
+        if type_name in self.type_names:
+            return self.type_names.index(type_name)
+        if "pos" in type_name or "neg" in type_name:
+            types_list = eval(type_name) if type_name.startswith("(") else (type_name,)
+            pos, neg = [], []
+            for x in types_list:
+                if "pos" in x:
+                    pos.append(self.type_name_to_index(x.replace("-pos", "")))
+                elif "neg" in x:
+                    neg.append(self.type_name_to_index(x.replace("-neg", "")))
+            return pos, neg
+        return -1
+
+    def type_index_to_name(self, type_index: int) -> str:
+        return self.type_names[type_index] if type_index < len(self.type_names) else ""
+
+    def add_fake_type(self, type_name: str, type_channel: int):
+        self.type_names.append(type_name)
+        self.channel_names.append(type_name)
+        self.fake_channels.append(type_channel)
+
+    def calc_cell_types(self, type_marker_image, frame: int, type_name: str,
+                        threshold: float = 0.1,
+                        percentage_above_threshold: float = 90,
+                        peak_window_size: int = 0) -> int:
+        """Classify cells by marker intensity (reference ``calc_cell_types``,
+        ``tissue_info.py:2338-2391``): positive iff the (100-p)th percentile of the
+        cell's marker pixels exceeds threshold x the image's 99th percentile, with an
+        optional local-maxima gate."""
+        table = self.get_cells_info(frame)
+        labels = self.get_labels(frame)
+        if table is None or labels is None:
+            return 0
+        new_type = type_name not in self.type_names
+        if new_type:
+            self.type_names.append(type_name)
+        type_index = self.type_names.index(type_name)
+
+        marker = jnp.asarray(np.asarray(type_marker_image, np.float32))
+        lab = jnp.asarray(labels.astype(np.int32))
+        pct = segment_percentile(marker.ravel(), lab.ravel(),
+                                 self.capacity + 1, 100.0 - percentage_above_threshold)
+        props = regionprops(lab, num_labels=self.capacity, intensity=marker)
+        mean_int = props["mean_intensity"][1:]
+
+        # revalidate like the reference (areas unchanged -> same validity rule)
+        exists = table.empty_cell == 0
+        n = jnp.maximum(jnp.sum(exists.astype(jnp.int32)), 1)
+        mean_area = jnp.sum(jnp.where(exists, table.area, 0.0)) / n
+        new_valid = (exists & (table.area < self.max_cell_area * mean_area)
+                     & (table.area > self.min_cell_area * mean_area)).astype(jnp.int32)
+
+        max_brightness = percentile(marker, 99.0)
+        thr = threshold * max_brightness
+        pos = (pct[1:] > thr) & exists
+        if peak_window_size > 0:
+            blurred = gaussian_blur(marker, 7.0)
+            maxima = jnp.abs(blurred - maximum_filter(blurred, peak_window_size,
+                                                      cval=-jnp.inf)) < 1e-6
+            has_max = jnp.zeros((self.capacity + 1,), bool).at[
+                jnp.where(maxima, lab, 0).ravel()].set(True)[1:]
+            pos = pos & has_max
+        new_types = jnp.where(pos, change_type(table.type, type_index, True),
+                              change_type(table.type, type_index, False))
+        new_types = jnp.where(exists, new_types, table.type)
+        import dataclasses
+
+        self.set_cells_info(frame, dataclasses.replace(
+            table, type=new_types.astype(jnp.uint8), valid=new_valid))
+        # store mean intensity column for features
+        self._mean_intensity_cache = getattr(self, "_mean_intensity_cache", {})
+        self._mean_intensity_cache[(frame, type_name)] = np.asarray(mean_int)
+        self.update_cell_types_by_cells_info(frame)
+        return 0
+
+    def get_mean_intensity(self, frame: int, type_name: str) -> Optional[np.ndarray]:
+        return getattr(self, "_mean_intensity_cache", {}).get((frame, type_name))
+
+    def update_cell_types_by_cells_info(self, frame: int) -> int:
+        """Repaint the per-pixel type map from the table (reference
+        ``tissue_info.py:2393-2408``): valid cells get their type bits, invalid cells
+        and boundaries 255."""
+        labels = self.get_labels(frame)
+        table = self.get_cells_info(frame)
+        if labels is None or table is None:
+            return 0
+        lut = np.full((self.capacity + 1,), INVALID_TYPE_INDEX, np.uint8)
+        valid = np.asarray(table.valid) == 1
+        lut[1:][valid] = np.asarray(table.type)[valid]
+        self.set_cell_types(frame, lut[np.clip(labels, 0, self.capacity)])
+        return 0
+
+    # ---------------- tracking
+
+    def track_cells(self, initial_frame: int = 1, final_frame: int = -1,
+                    images: Optional[np.ndarray] = None,
+                    search_range: float = 100.0, memory: int = 3) -> int:
+        """Track all frames on device (reference
+        ``track_cells_iterator_with_trackpy``, ``tissue_info.py:1874-1933``); writes
+        track ids into each frame's ``label`` column."""
+        from tissue_image_processing_tpu.core.tracking import (
+            compute_drift_chain, track_movie)
+        import dataclasses
+
+        if final_frame == -1:
+            final_frame = self.number_of_frames
+        frames = list(range(initial_frame, final_frame + 1))
+        tables = [self.get_cells_info(f) for f in frames]
+        have = [t is not None for t in tables]
+        if not any(have):
+            return 0
+        cap = self.capacity
+        Z = np.zeros((len(frames), cap), np.float32)
+        cy, cx, area = Z.copy(), Z.copy(), Z.copy()
+        mask = np.zeros((len(frames), cap), bool)
+        for i, t in enumerate(tables):
+            if t is None:
+                continue
+            cy[i] = np.asarray(t.cy)
+            cx[i] = np.asarray(t.cx)
+            area[i] = np.asarray(t.area)
+            mask[i] = np.asarray(t.valid_mask())
+        valid = np.array([self.is_frame_valid(f) and have[i]
+                          for i, f in enumerate(frames)])
+        if images is not None:
+            from tissue_image_processing_tpu.core.tracking import compute_drift_chain
+            drifts = np.asarray(compute_drift_chain(jnp.asarray(
+                np.asarray(images[initial_frame - 1:final_frame], np.float32))))
+            self.drifts[initial_frame - 1:final_frame] = drifts
+        drifts = jnp.asarray(self.drifts[initial_frame - 1:final_frame].astype(np.float32))
+        ids = np.asarray(track_movie(
+            jnp.asarray(cy), jnp.asarray(cx), jnp.asarray(area), jnp.asarray(mask),
+            drifts=drifts, frame_valid=jnp.asarray(valid),
+            search_range=search_range, memory=memory, capacity=2 * cap))
+        for i, f in enumerate(frames):
+            t = tables[i]
+            if t is None:
+                continue
+            new_label = np.where(mask[i], ids[i], np.asarray(t.label))
+            self.set_cells_info(f, dataclasses.replace(
+                t, label=jnp.asarray(new_label.astype(np.int32))))
+        self.cells_number = max(self.cells_number, int(ids.max()))
+        return final_frame
+
+    def calc_overall_drift(self) -> np.ndarray:
+        """Cumulative drift over valid frames (reference ``tissue_info.py:791-801``)."""
+        overall = np.zeros_like(self.drifts)
+        acc = np.zeros(2)
+        for frame in range(self.number_of_frames):
+            if self.is_frame_valid(frame + 1):
+                acc = acc + self.drifts[frame]
+            overall[frame] = acc
+        return overall
+
+    # ---------------- queries used by events/features
+
+    def detect_edge_cells(self, frame: int) -> np.ndarray:
+        """Row indices of cells touching the image border (reference
+        ``tissue_info.py:609-612``)."""
+        labels = self.get_labels(frame)
+        edge = np.hstack([labels[0, :], labels[:, 0], labels[-1, :], labels[:, -1]])
+        return np.unique(edge[edge > 0]) - 1
+
+    def get_valid_non_edge_mask(self, frame: int) -> np.ndarray:
+        table = self.get_cells_info(frame)
+        mask = np.asarray(table.valid_mask()).copy()
+        edge = self.detect_edge_cells(frame)
+        mask[edge] = False
+        return mask
+
+    def get_cell_id_by_position(self, frame: int, pos) -> int:
+        labels = self.get_labels(frame)
+        table = self.get_cells_info(frame)
+        if labels is None or table is None:
+            return 0
+        x, y = int(pos[0]), int(pos[1])
+        idx = int(labels[y, x]) - 1
+        if idx < 0 or idx >= self.capacity:
+            return 0
+        return int(np.asarray(table.label)[idx])
+
+    def get_cell_centroid_by_id(self, frame: int, cell_id: int):
+        table = self.get_cells_info(frame)
+        if table is None:
+            return None
+        lab = np.asarray(table.label)
+        ok = (lab == cell_id) & np.asarray(table.valid_mask())
+        idx = np.nonzero(ok)[0]
+        if idx.size < 1:
+            return None
+        i = idx[0]
+        return float(np.asarray(table.cx)[i]), float(np.asarray(table.cy)[i])
+
+    def get_cells_number(self) -> int:
+        for f in range(self.number_of_frames, 0, -1):
+            t = self.get_cells_info(f)
+            if t is not None:
+                self.cells_number = max(self.cells_number, int(np.asarray(t.label).max()))
+        return self.cells_number
+
+    def calc_neighbors_contact_matrix(self, frame: int) -> np.ndarray:
+        labels = self.get_labels(frame)
+        return np.asarray(contact_length_matrix(jnp.asarray(labels.astype(np.int32)),
+                                                num_labels=self.capacity))
+
+    # ---------------- events (delegates to core.events)
+
+    def add_event(self, *args, **kwargs):
+        from tissue_image_processing_tpu.core import events as E
+        return E.add_event(self, *args, **kwargs)
+
+    def delete_event(self, start_frame, start_pos):
+        from tissue_image_processing_tpu.core import events as E
+        return E.delete_event(self, start_frame, start_pos)
+
+    def find_events(self, initial_frame: int = 1, final_frame: int = -1, **kw):
+        from tissue_image_processing_tpu.core import events as E
+        last = initial_frame
+        for frame in E.find_events_iterator(self, initial_frame, final_frame, **kw):
+            last = frame
+        return last
+
+    def find_events_iterator(self, initial_frame: int = 1, final_frame: int = -1, **kw):
+        from tissue_image_processing_tpu.core import events as E
+        return E.find_events_iterator(self, initial_frame, final_frame, **kw)
+
+    def get_events(self) -> pd.DataFrame:
+        return self.events
+
+    def fix_cell_types_after_tracking(self, **kw):
+        from tissue_image_processing_tpu.core import events as E
+        return E.fix_cell_types_after_tracking(self, **kw)
+
+    # ---------------- persistence (.seg compatible)
+
+    def _ensure_working_dir(self):
+        if self.working_dir is None:
+            self.working_dir = get_temp_directory(self.data_path or "session")
+            os.makedirs(self.working_dir, exist_ok=True)
+        return self.working_dir
+
+    def _flush_to_working_dir(self):
+        wd = self._ensure_working_dir()
+        for i in range(self.number_of_frames):
+            f = i + 1
+            if self._labels[i] is not None:
+                np.save(os.path.join(wd, f"frame_{f}_labels.npy"), self._labels[i])
+            if self._cell_types[i] is not None:
+                np.save(os.path.join(wd, f"frame_{f}_types.npy"), self._cell_types[i])
+            if self._tables[i] is not None:
+                self._tables[i].to_pandas().to_pickle(
+                    os.path.join(wd, f"frame_{f}_data.pkl"))
+        self.events.to_pickle(os.path.join(wd, "events_data.pkl"))
+        np.save(os.path.join(wd, "drifts.npy"), self.drifts)
+        np.save(os.path.join(wd, "valid_frames.npy"), self.valid_frames)
+        with open(os.path.join(wd, "shape_fitting_data.json"), "w") as fp:
+            json.dump(self.shape_fitting_results, fp)
+        for name, obj in [("cell_type_names.pkl", self.type_names),
+                          ("channel_names.pkl", self.channel_names),
+                          ("fake_channels.pkl", self.fake_channels)]:
+            with open(os.path.join(wd, name), "wb") as fp:
+                pickle.dump(obj, fp)
+
+    def save(self, path: str) -> Iterator[float]:
+        """Flush artifacts and zip into a .seg archive (reference
+        ``tissue_info.py:3714-3729``)."""
+        self._flush_to_working_dir()
+        target = path if path.endswith(".seg") else path + ".seg"
+        yield from pack_archive_with_progress(self.working_dir, target)
+
+    def load(self, path: str) -> Iterator[float]:
+        """Load a .seg archive (reference ``tissue_info.py:3731-3756``)."""
+        wd = get_temp_directory(self.data_path or "session")
+        os.makedirs(wd, exist_ok=True)
+        yield from unpack_archive_with_progress(path, wd)
+        if self.working_dir and os.path.isdir(self.working_dir):
+            shutil.rmtree(self.working_dir, ignore_errors=True)
+        self.working_dir = wd
+        for i in range(self.number_of_frames):
+            f = i + 1
+            p = os.path.join(wd, f"frame_{f}_labels.npy")
+            if os.path.isfile(p):
+                self._labels[i] = np.load(p)
+            p = os.path.join(wd, f"frame_{f}_types.npy")
+            if os.path.isfile(p):
+                self._cell_types[i] = np.load(p)
+            p = os.path.join(wd, f"frame_{f}_data.pkl")
+            if os.path.isfile(p):
+                df = pd.read_pickle(p)
+                if len(df) and isinstance(df["type"].iloc[0], str):
+                    # legacy single-type format (reference tissue_info.py:4221-4223)
+                    df = df.replace({"HC": 1, "SC": 0, "invalid": 0})
+                self._tables[i] = CellTable.from_pandas(
+                    df, capacity=self.capacity, max_neighbors=self.max_neighbors)
+        p = os.path.join(wd, "events_data.pkl")
+        if os.path.isfile(p):
+            self.events = pd.concat([self.events, pd.read_pickle(p)],
+                                    ignore_index=True).drop_duplicates(ignore_index=True)
+            self.events["source"] = self.events["source"].fillna("manual")
+        for name, attr in [("drifts.npy", "drifts"), ("valid_frames.npy", "valid_frames")]:
+            p = os.path.join(wd, name)
+            if os.path.isfile(p):
+                setattr(self, attr, np.load(p))
+        p = os.path.join(wd, "shape_fitting_data.json")
+        if os.path.isfile(p):
+            with open(p) as fp:
+                self.shape_fitting_results = json.load(fp)
+        for name, attr in [("cell_type_names.pkl", "type_names"),
+                           ("channel_names.pkl", "channel_names"),
+                           ("fake_channels.pkl", "fake_channels")]:
+            p = os.path.join(wd, name)
+            if os.path.isfile(p):
+                with open(p, "rb") as fp:
+                    setattr(self, attr, pickle.load(fp))
+        return
+
+    def clean_up(self):
+        if self.working_dir and os.path.isdir(self.working_dir):
+            shutil.rmtree(self.working_dir, ignore_errors=True)
+
+    def load_stage_locations(self):
+        """Sidecar stage-location pickle next to the movie (reference
+        ``tissue_info.py:3557-3566``)."""
+        if not self.data_path:
+            return None
+        base = os.path.basename(self.data_path).replace(".tif", "")
+        path = os.path.join(os.path.dirname(self.data_path),
+                            f"stage_locations_{base}.pkl")
+        if os.path.isfile(path):
+            return pd.DataFrame(pd.read_pickle(path))
+        return None
+
+    def load_height_map(self):
+        """Sidecar z-map (reference ``tissue_info.py:3568-3575``)."""
+        if not self.data_path:
+            return None
+        base = os.path.basename(self.data_path).replace(".tif", "")
+        path = os.path.join(os.path.dirname(self.data_path), f"zmap_{base}.npy")
+        if os.path.isfile(path):
+            return np.load(path, mmap_mode="r")
+        return None

@@ -35,6 +35,35 @@ def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
+def _band_matrix_nearest(kernel: jnp.ndarray, length: int) -> jnp.ndarray:
+    """(L, L) matrix B with out = x @ B.T == correlate1d(x, kernel, mode='nearest').
+
+    Edge-replication folds the out-of-range kernel mass onto the first/last columns:
+    B[i, j] = sum of kernel taps d with clip(i + d, 0, L-1) == j.
+    """
+    ksize = kernel.shape[0]
+    r = (ksize - 1) // 2
+    i = jax.lax.broadcasted_iota(jnp.int32, (length, length), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (length, length), 1)
+    d = j - i
+    base = jnp.where(jnp.abs(d) <= r, kernel[jnp.clip(d + r, 0, ksize - 1)], 0.0)
+    csum = jnp.cumsum(kernel)
+    total = csum[-1]
+    rows = jnp.arange(length)
+    left = jnp.where(r - rows - 1 >= 0, csum[jnp.clip(r - rows - 1, 0, ksize - 1)], 0.0)
+    hi = length - 1 - rows + r
+    right = jnp.where(hi < ksize - 1, total - csum[jnp.clip(hi, 0, ksize - 1)], 0.0)
+    base = base.at[:, 0].add(left)
+    base = base.at[:, length - 1].add(right)
+    return base
+
+
+# kernels with at least this many taps run as a banded matmul on the MXU: a
+# radius-120 Gaussian (sigma 30) over 30x1024^2 is ~15 GFLOP of 1-channel conv (VPU
+# bound, hundreds of ms) but a dense (1024, 1024) matmul per row block (sub-10ms)
+_MATMUL_TAP_THRESHOLD = 31
+
+
 def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Correlate ``x`` with ``kernel`` along ``axis`` using edge-replicate padding."""
     ksize = kernel.shape[0]
@@ -43,6 +72,14 @@ def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.
     r = (ksize - 1) // 2
     x = jnp.moveaxis(x, axis, -1)
     shape = x.shape
+    L = shape[-1]
+    if ksize >= _MATMUL_TAP_THRESHOLD and L > 1 and L <= 8192:
+        B = _band_matrix_nearest(kernel.astype(jnp.float32), L)
+        flat = x.reshape(-1, L)
+        out = jnp.dot(flat, B.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        out = out.reshape(shape)
+        return jnp.moveaxis(out, -1, axis)
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="edge")
     flat = xp.reshape(-1, 1, xp.shape[-1])
     k = kernel.reshape(1, 1, ksize).astype(flat.dtype)

@@ -31,8 +31,13 @@ def threshold_local_max(image: jnp.ndarray, block_size: int) -> jnp.ndarray:
         block_size += 1
     r = block_size // 2
     x = image.astype(jnp.float32)
-    pad = [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)]
-    xp = jnp.pad(x, pad, mode="reflect")
-    window = (1,) * (x.ndim - 2) + (block_size, block_size)
     strides = (1,) * x.ndim
+    # max is separable: two 1-D passes instead of a block_size^2 window
+    pad = [(0, 0)] * (x.ndim - 2) + [(r, r), (0, 0)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    window = (1,) * (x.ndim - 2) + (block_size, 1)
+    x = jax.lax.reduce_window(xp, -jnp.inf, jax.lax.max, window, strides, "VALID")
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    window = (1,) * (x.ndim - 2) + (1, block_size)
     return jax.lax.reduce_window(xp, -jnp.inf, jax.lax.max, window, strides, "VALID")
