@@ -1,0 +1,282 @@
+"""Statistical comparison machinery.
+
+Rebuild of the reference's test selectors (``statistical_analysis.py:220-885``):
+
+- ``TwoSampleCompare``: normality (Shapiro for n<20 else D'Agostino) + Levene ->
+  Student / Welch t-test or Mann-Whitney U (``:220-335``).
+- ``TwoByTwoCompare``: 2x2 factorial — two-way ANOVA when both factors' residuals
+  look normal, otherwise Scheirer-Ray-Hare on ranks; Tukey HSD or Dunn post-hoc
+  (``:337-651``). statsmodels/scikit-posthocs are not available in this environment,
+  so the two-way ANOVA, SRH and Dunn tests are computed directly (standard formulas
+  on sums of squares / rank sums); Tukey uses scipy.stats.tukey_hsd.
+- ``HierarchicalTwoSamplesCompare``: the reference's GLMM model-selection pipeline
+  (``:653-885``) approximated without statsmodels: counts are checked for
+  overdispersion/zero inflation and compared by a quasi-Poisson rate test;
+  continuous data use per-group (biological repeat) means with Welch's t
+  — the standard summary-statistics approximation of a random-intercept model.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from scipy import stats
+
+__all__ = ["TwoSampleCompare", "TwoByTwoCompare", "HierarchicalTwoSamplesCompare",
+           "two_way_anova", "scheirer_ray_hare", "dunn_test"]
+
+
+def _is_normal(x: np.ndarray, alpha: float = 0.05) -> bool:
+    x = np.asarray(x, float)
+    if x.size < 3:
+        return True
+    if x.size < 20:
+        return stats.shapiro(x).pvalue > alpha
+    return stats.normaltest(x).pvalue > alpha
+
+
+class TwoSampleCompare:
+    """Pick and run the right two-sample test (reference
+    ``statistical_analysis.py:220-335``)."""
+
+    def __init__(self, sample1, sample2, labels=("sample1", "sample2"),
+                 alpha: float = 0.05):
+        self.s1 = np.asarray(sample1, float)
+        self.s2 = np.asarray(sample2, float)
+        self.labels = labels
+        self.alpha = alpha
+        self.result = self.compare()
+
+    def compare(self) -> Dict:
+        normal = _is_normal(self.s1, self.alpha) and _is_normal(self.s2, self.alpha)
+        equal_var = stats.levene(self.s1, self.s2).pvalue > self.alpha \
+            if min(self.s1.size, self.s2.size) > 1 else True
+        if normal:
+            test = "Student t-test" if equal_var else "Welch t-test"
+            stat, p = stats.ttest_ind(self.s1, self.s2, equal_var=equal_var)
+        else:
+            test = "Mann-Whitney U"
+            stat, p = stats.mannwhitneyu(self.s1, self.s2, alternative="two-sided")
+        return {
+            "test": test, "statistic": float(stat), "p_value": float(p),
+            "normal": normal, "equal_variance": bool(equal_var),
+            "n1": int(self.s1.size), "n2": int(self.s2.size),
+            "mean1": float(np.mean(self.s1)) if self.s1.size else np.nan,
+            "mean2": float(np.mean(self.s2)) if self.s2.size else np.nan,
+            "significant": bool(p < self.alpha),
+        }
+
+    def to_row(self) -> pd.DataFrame:
+        row = dict(self.result)
+        row["label1"], row["label2"] = self.labels
+        return pd.DataFrame([row])
+
+    def append_to_table(self, path: str) -> str:
+        """Append the result row to an xlsx/csv log (reference
+        ``_append_row_to_excel``, ``statistical_analysis.py:167-218``)."""
+        import os
+
+        from tissue_image_processing_tpu.core.export import write_table
+
+        row = self.to_row()
+        target = path if not path.endswith(".xlsx") else path
+        existing = None
+        for candidate in (target, target.replace(".xlsx", ".csv")):
+            if os.path.isfile(candidate):
+                existing = (pd.read_excel(candidate) if candidate.endswith(".xlsx")
+                            else pd.read_csv(candidate))
+                break
+        df = pd.concat([existing, row], ignore_index=True) if existing is not None else row
+        return write_table(df, target)
+
+
+def two_way_anova(values: np.ndarray, a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Balanced/unbalanced two-way ANOVA with interaction (type-I SS via nested
+    group means, adequate for the reference's 2x2 designs)."""
+    values = np.asarray(values, float)
+    a = np.asarray(a)
+    b = np.asarray(b)
+    grand = values.mean()
+    ss_total = ((values - grand) ** 2).sum()
+    a_levels = np.unique(a)
+    b_levels = np.unique(b)
+    ss_a = sum(((values[a == la].mean() - grand) ** 2) * (a == la).sum()
+               for la in a_levels)
+    ss_b = sum(((values[b == lb].mean() - grand) ** 2) * (b == lb).sum()
+               for lb in b_levels)
+    ss_cells = 0.0
+    ss_err = 0.0
+    n_cells = 0
+    for la in a_levels:
+        for lb in b_levels:
+            sel = (a == la) & (b == lb)
+            if sel.sum() == 0:
+                continue
+            n_cells += 1
+            cm = values[sel].mean()
+            ss_cells += sel.sum() * (cm - grand) ** 2
+            ss_err += ((values[sel] - cm) ** 2).sum()
+    ss_ab = ss_cells - ss_a - ss_b
+    df_a = len(a_levels) - 1
+    df_b = len(b_levels) - 1
+    df_ab = df_a * df_b
+    df_err = values.size - n_cells
+    rows = []
+    for name, ss, df in [("A", ss_a, df_a), ("B", ss_b, df_b),
+                         ("A:B", ss_ab, df_ab)]:
+        ms = ss / df if df else np.nan
+        mse = ss_err / df_err if df_err else np.nan
+        f = ms / mse if mse else np.nan
+        p = 1 - stats.f.cdf(f, df, df_err) if np.isfinite(f) else np.nan
+        rows.append({"factor": name, "ss": ss, "df": df, "F": f, "p_value": p})
+    rows.append({"factor": "Residual", "ss": ss_err, "df": df_err,
+                 "F": np.nan, "p_value": np.nan})
+    return pd.DataFrame(rows)
+
+
+def scheirer_ray_hare(values: np.ndarray, a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """Nonparametric two-way test on ranks (reference uses this when normality
+    fails, ``statistical_analysis.py:337-651``)."""
+    ranks = stats.rankdata(values)
+    df = two_way_anova(ranks, a, b)
+    n = len(ranks)
+    ms_total = ((ranks - ranks.mean()) ** 2).sum() / (n - 1)
+    rows = []
+    for _, row in df.iterrows():
+        if row["factor"] == "Residual":
+            continue
+        h = row["ss"] / ms_total
+        p = 1 - stats.chi2.cdf(h, row["df"])
+        rows.append({"factor": row["factor"], "H": h, "df": row["df"], "p_value": p})
+    return pd.DataFrame(rows)
+
+
+def dunn_test(groups: Sequence[np.ndarray], labels: Optional[Sequence[str]] = None
+              ) -> pd.DataFrame:
+    """Dunn's post-hoc z-tests on pooled ranks with Bonferroni correction."""
+    labels = list(labels or range(len(groups)))
+    all_vals = np.concatenate([np.asarray(g, float) for g in groups])
+    ranks = stats.rankdata(all_vals)
+    n = all_vals.size
+    idx = 0
+    mean_ranks, sizes = [], []
+    for g in groups:
+        k = len(g)
+        mean_ranks.append(ranks[idx:idx + k].mean())
+        sizes.append(k)
+        idx += k
+    # tie correction
+    _, counts = np.unique(all_vals, return_counts=True)
+    tie_sum = np.sum(counts ** 3 - counts)
+    rows = []
+    m = len(groups) * (len(groups) - 1) // 2
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            se = math.sqrt((n * (n + 1) / 12.0 - tie_sum / (12.0 * (n - 1)))
+                           * (1.0 / sizes[i] + 1.0 / sizes[j]))
+            z = (mean_ranks[i] - mean_ranks[j]) / se if se else np.nan
+            p = 2 * (1 - stats.norm.cdf(abs(z)))
+            rows.append({"group1": labels[i], "group2": labels[j], "z": z,
+                         "p_value": min(p * m, 1.0)})
+    return pd.DataFrame(rows)
+
+
+class TwoByTwoCompare:
+    """2x2 factorial comparison (reference ``TwoByTwoCompare``,
+    ``statistical_analysis.py:337-651``)."""
+
+    def __init__(self, samples: Dict[tuple, np.ndarray], alpha: float = 0.05):
+        """samples: {(factorA_level, factorB_level): values}."""
+        self.samples = {k: np.asarray(v, float) for k, v in samples.items()}
+        self.alpha = alpha
+        self.result = self.compare()
+
+    def compare(self) -> Dict:
+        values = np.concatenate(list(self.samples.values()))
+        a = np.concatenate([[k[0]] * len(v) for k, v in self.samples.items()])
+        b = np.concatenate([[k[1]] * len(v) for k, v in self.samples.items()])
+        normal = all(_is_normal(v, self.alpha) for v in self.samples.values()
+                     if v.size >= 3)
+        if normal:
+            table = two_way_anova(values, a, b)
+            method = "two-way ANOVA"
+            post = stats.tukey_hsd(*self.samples.values())
+            post_p = np.asarray(post.pvalue)
+        else:
+            table = scheirer_ray_hare(values, a, b)
+            method = "Scheirer-Ray-Hare"
+            post_df = dunn_test(list(self.samples.values()),
+                                [str(k) for k in self.samples])
+            post_p = post_df
+        return {"method": method, "table": table, "posthoc": post_p,
+                "normal": normal}
+
+
+class HierarchicalTwoSamplesCompare:
+    """Hierarchical (per biological repeat) two-sample comparison (reference
+    ``HierarchicalTwoSamplesCompare``, ``statistical_analysis.py:653-885``)."""
+
+    def __init__(self, groups1: Sequence[np.ndarray], groups2: Sequence[np.ndarray],
+                 kind: str = "continuous", alpha: float = 0.05):
+        """groups1/groups2: one array per biological repeat."""
+        self.g1 = [np.asarray(g, float) for g in groups1]
+        self.g2 = [np.asarray(g, float) for g in groups2]
+        self.kind = kind
+        self.alpha = alpha
+        self.result = self.compare()
+
+    @staticmethod
+    def _overdispersed(vals: np.ndarray) -> bool:
+        m = vals.mean()
+        return bool(vals.var() > 1.5 * m) if m > 0 else False
+
+    @staticmethod
+    def _zero_inflated(vals: np.ndarray) -> bool:
+        m = vals.mean()
+        expected_zeros = np.exp(-m) * vals.size
+        return bool((vals == 0).sum() > 2 * expected_zeros + 1)
+
+    def compare(self) -> Dict:
+        if self.kind == "counts":
+            all1 = np.concatenate(self.g1)
+            all2 = np.concatenate(self.g2)
+            family = "poisson"
+            if self._overdispersed(np.concatenate([all1, all2])):
+                family = "negative binomial"
+            if self._zero_inflated(np.concatenate([all1, all2])):
+                family = "zero-inflated " + family
+            # quasi-Poisson rate ratio test on per-repeat totals
+            m1 = np.array([g.sum() for g in self.g1], float)
+            m2 = np.array([g.sum() for g in self.g2], float)
+            n1 = np.array([g.size for g in self.g1], float)
+            n2 = np.array([g.size for g in self.g2], float)
+            r1 = m1 / np.maximum(n1, 1)
+            r2 = m2 / np.maximum(n2, 1)
+            stat, p = stats.ttest_ind(r1, r2, equal_var=False)
+            return {"family": family, "test": "per-repeat rate Welch t",
+                    "statistic": float(stat), "p_value": float(p),
+                    "rate1": float(r1.mean()), "rate2": float(r2.mean()),
+                    "significant": bool(p < self.alpha)}
+        # continuous: model choice by normality / skew like the reference
+        all1 = np.concatenate(self.g1)
+        all2 = np.concatenate(self.g2)
+        pooled = np.concatenate([all1, all2])
+        if _is_normal(pooled, self.alpha):
+            family = "LMM (normal)"
+        elif pooled.min() > 0 and _is_normal(np.log(pooled), self.alpha):
+            family = "log-LMM"
+        elif stats.skew(pooled) > 1 and pooled.min() >= 0:
+            family = "Gamma GLMM"
+        else:
+            family = "InvGauss GLMM"
+        m1 = np.array([g.mean() for g in self.g1 if g.size])
+        m2 = np.array([g.mean() for g in self.g2 if g.size])
+        if family == "log-LMM":
+            m1, m2 = np.log(m1), np.log(m2)
+        stat, p = stats.ttest_ind(m1, m2, equal_var=False)
+        return {"family": family, "test": "per-repeat mean Welch t",
+                "statistic": float(stat), "p_value": float(p),
+                "significant": bool(p < self.alpha)}
