@@ -1,0 +1,116 @@
+import os
+
+import numpy as np
+import pytest
+
+from tissue_image_processing_tpu.io.movie_tools import (
+    split_large_movie, crop_section_by_track, convert_series_to_store)
+from tissue_image_processing_tpu.io.tiff import read_tiff
+
+
+def small_movie(T=3, C=2, Z=2, Y=48, X=48, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.random((T, C, Z, Y, X)) * 1000).astype(np.float32)
+
+
+def test_split_large_movie(tmp_path):
+    m = small_movie()
+    p = os.path.join(tmp_path, "movie.npy")
+    np.save(p, m)
+    outs = split_large_movie(p, str(tmp_path))
+    assert len(outs) == 3
+    img, axes, shape, _ = read_tiff(outs[0])
+    assert shape == (2, 2, 48, 48)
+
+
+def test_crop_section_by_track():
+    m = small_movie()
+    out = crop_section_by_track(m, [(24, 24), (26, 25), (28, 26)], radius=8)
+    assert out.shape == (3, 2, 2, 16, 16)
+    np.testing.assert_array_equal(out[0, 0, 0], m[0, 0, 0, 16:32, 16:32])
+
+
+def test_convert_series_to_store(tmp_path):
+    m1 = small_movie(T=2, Y=40, X=40)
+    m2 = small_movie(T=3, Y=48, X=48, seed=1)
+    p1 = os.path.join(tmp_path, "m1.npy")
+    p2 = os.path.join(tmp_path, "m2.npy")
+    np.save(p1, m1)
+    np.save(p2, m2)
+    out = convert_series_to_store([p1, p2], os.path.join(tmp_path, "store.npy"))
+    arr = np.load(out, mmap_mode="r")
+    assert arr.shape == (5, 2, 2, 48, 48)
+    np.testing.assert_allclose(arr[0, 0, 0, :40, :40], m1[0, 0, 0])
+    np.testing.assert_allclose(arr[2], m2[0])
+
+
+def _grid_movie(tmp_path, T=3):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_tissue import grid_labels
+    lab = grid_labels()
+    membrane = (lab == 0).astype(np.float32) * 50000 + 100
+    movie = np.zeros((T, 2, 1, 64, 64), np.float32)
+    for t in range(T):
+        movie[t, 0, 0] = membrane.T  # CLI transposes back
+        movie[t, 1, 0] = ((lab == 15) * 40000).astype(np.float32).T
+    p = os.path.join(tmp_path, "movie.npy")
+    np.save(p, movie)
+    return p
+
+
+def test_cli_pipeline(tmp_path):
+    from tissue_image_processing_tpu.cli import main
+    movie = _grid_movie(tmp_path)
+    session = os.path.join(tmp_path, "s.seg")
+    assert main(["segment", movie, "--session", session, "--capacity", "256",
+                 "--threshold", "0.3", "--std", "1.0", "--block-size", "21"]) == 0
+    assert os.path.exists(session)
+    assert main(["types", movie, "--session", session, "--capacity", "256",
+                 "--channel", "1", "--name", "HC", "--threshold", "0.3"]) == 0
+    assert main(["track", movie, "--session", session, "--capacity", "256"]) == 0
+    assert main(["events", "--session", session, "--capacity", "256",
+                 "--frames", "3"]) == 0
+    outdir = os.path.join(tmp_path, "out")
+    assert main(["export", "--session", session, "--capacity", "256",
+                 "--frames", "3", outdir, "--format", "matlab"]) == 0
+    assert os.path.exists(os.path.join(outdir, "export.mat"))
+    assert main(["analyze", "--session", session, "--capacity", "256",
+                 "--frames", "3", "--feature", "area"]) == 0
+
+
+def test_maintenance_fixups():
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_tissue import make_tissue
+    from tissue_image_processing_tpu.utils import maintenance as M
+
+    tissue = make_tissue(T=2)
+    tissue.track_cells()
+    # duplicate a label then repair
+    import dataclasses
+    import jax.numpy as jnp
+    t = tissue.get_cells_info(1)
+    ids = np.asarray(t.label).copy()
+    ids[1] = ids[0]
+    tissue.set_cells_info(1, dataclasses.replace(t, label=jnp.asarray(ids)))
+    M.fix_duplicated_label_cells_in_frame(tissue, 1)
+    ids2 = np.asarray(tissue.get_cells_info(1).label)
+    exists = np.asarray(tissue.get_cells_info(1).empty_cell) == 0
+    vals, counts = np.unique(ids2[exists & (ids2 > 0)], return_counts=True)
+    assert counts.max() == 1
+    # zero-label repair
+    ids3 = ids2.copy()
+    ids3[2] = 0
+    tissue.set_cells_info(1, dataclasses.replace(
+        tissue.get_cells_info(1), label=jnp.asarray(ids3)))
+    M.fix_zero_labeled_cells(tissue)
+    ids4 = np.asarray(tissue.get_cells_info(1).label)
+    assert (ids4[exists] > 0).all()
+    # flip
+    area_before = np.asarray(tissue.get_cells_info(1).area).copy()
+    cx_before = np.asarray(tissue.get_cells_info(1).cx).copy()
+    M.flip_all_data(tissue)
+    np.testing.assert_allclose(np.asarray(tissue.get_cells_info(1).cy), cx_before)
+    avg = M.calculate_average_area_in_movie(tissue)
+    assert avg > 0

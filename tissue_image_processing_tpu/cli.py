@@ -1,0 +1,251 @@
+"""Main pipeline CLI — the batch replacement for the reference's PyQt GUI
+(``gui.py``): every worker-thread action (segment / U-Net segment / cell types /
+track / find events / save / export, ``gui.py:1821-2136``) is a subcommand operating
+on a movie + .seg session, with frames processed in device batches.
+
+Usage examples:
+  python -m tissue_image_processing_tpu.cli segment movie.tif --session out.seg
+  python -m tissue_image_processing_tpu.cli unet movie.tif --weights w.h5 --session out.seg
+  python -m tissue_image_processing_tpu.cli types --session out.seg movie.tif --channel 1 --name HC
+  python -m tissue_image_processing_tpu.cli track --session out.seg movie.tif
+  python -m tissue_image_processing_tpu.cli events --session out.seg
+  python -m tissue_image_processing_tpu.cli export --session out.seg --format matlab out/
+  python -m tissue_image_processing_tpu.cli analyze --session out.seg --feature area
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _load_movie(path):
+    from tissue_image_processing_tpu.io.movie import MovieStore
+    return MovieStore.open(path)
+
+
+def _open_session(args, n_frames):
+    from tissue_image_processing_tpu.core.tissue import Tissue
+
+    tissue = Tissue(n_frames, args.movie if hasattr(args, "movie") else "session",
+                    channel_names=getattr(args, "channels", None) or [],
+                    capacity=args.capacity)
+    if args.session and os.path.isfile(args.session):
+        for _ in tissue.load(args.session):
+            pass
+    return tissue
+
+
+def _save_session(tissue, args):
+    if args.session:
+        last = 0
+        for pct in tissue.save(args.session):
+            last = pct
+        print(f"saved session -> {args.session}")
+
+
+def cmd_segment(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tissue_image_processing_tpu.ops.watershed import watershed_segmentation
+
+    store = _load_movie(args.movie)
+    tissue = _open_session(args, store.num_frames)
+    seg_fn = jax.jit(lambda img: watershed_segmentation(
+        img, args.threshold, args.std, args.block_size))
+    frames = range(args.initial, (args.final or store.num_frames) + 1)
+    for f in frames:
+        img = jnp.asarray(store.frame(f - 1)[args.channel, 0].T.astype(np.float32))
+        labels = np.asarray(seg_fn(img))
+        tissue.set_labels(f, labels, reset_data=True)
+        tissue.calculate_frame_cellinfo(f)
+        print(f"segmented frame {f}: {labels.max()} cells", flush=True)
+    _save_session(tissue, args)
+
+
+def cmd_unet(args):
+    import jax.numpy as jnp
+
+    from tissue_image_processing_tpu.models.predictor import SegmentationPredictor
+
+    store = _load_movie(args.movie)
+    tissue = _open_session(args, store.num_frames)
+    shape = store.frame(0)[0, 0].shape
+    pred = SegmentationPredictor(args.weights, (2,) + shape)
+    frames = list(range(args.initial, (args.final or store.num_frames) + 1))
+    for f in frames:
+        img = store.frame(f - 1)[[args.atoh_channel, args.zo_channel], 0]
+        labels, hc = pred.predict(img.astype(np.float32))
+        tissue.set_labels(f, np.asarray(labels), reset_data=True)
+        tissue.calculate_frame_cellinfo(f)
+        print(f"unet-segmented frame {f}: {int(np.asarray(labels).max())} cells",
+              flush=True)
+    _save_session(tissue, args)
+
+
+def cmd_types(args):
+    store = _load_movie(args.movie)
+    tissue = _open_session(args, store.num_frames)
+    for f in range(1, store.num_frames + 1):
+        if tissue.get_labels(f) is None:
+            continue
+        marker = store.frame(f - 1)[args.channel, 0].T.astype(np.float32)
+        tissue.calc_cell_types(marker, f, args.name, threshold=args.threshold,
+                               percentage_above_threshold=args.percentage)
+        print(f"typed frame {f}", flush=True)
+    _save_session(tissue, args)
+
+
+def cmd_track(args):
+    store = _load_movie(args.movie) if args.movie else None
+    n = store.num_frames if store else args.frames
+    tissue = _open_session(args, n)
+    images = None
+    if store is not None and args.use_images:
+        images = store.data[:, args.channel, 0].transpose(0, 2, 1)
+    tissue.track_cells(images=images, search_range=args.search_range,
+                       memory=args.memory)
+    if args.fix_types:
+        tissue.fix_cell_types_after_tracking()
+    print(f"tracked {n} frames; {tissue.get_cells_number()} tracks")
+    _save_session(tissue, args)
+
+
+def cmd_events(args):
+    tissue = _open_session(args, args.frames)
+    tissue.find_events(differentiation_type_name=args.type_name)
+    ev = tissue.get_events()
+    print(ev.groupby("type").size().to_string() if len(ev) else "no events found")
+    _save_session(tissue, args)
+
+
+def cmd_export(args):
+    from tissue_image_processing_tpu.core import export as X
+
+    tissue = _open_session(args, args.frames)
+    os.makedirs(args.outdir, exist_ok=True)
+    name = args.name or "export"
+    if args.format == "matlab":
+        X.export_segmentation_to_matlab(tissue, args.outdir, name)
+    elif args.format == "tiff":
+        X.export_segmentation_to_tiff(tissue, args.outdir, name)
+    elif args.format == "tiff+types":
+        X.export_segmentation_and_cell_types_to_tiff(tissue, args.outdir, name)
+    elif args.format == "npy":
+        X.export_segmentation_to_npy(tissue, args.outdir, name)
+    elif args.format == "events":
+        from tissue_image_processing_tpu.core.export import write_table
+        write_table(tissue.get_events(), os.path.join(args.outdir, name + ".csv"))
+    print(f"exported -> {args.outdir}")
+
+
+def cmd_analyze(args):
+    from tissue_image_processing_tpu.core.frame_data import get_frame_data
+    import pandas as pd
+
+    tissue = _open_session(args, args.frames)
+    rows = []
+    for f in range(1, args.frames + 1):
+        if tissue.get_cells_info(f) is None:
+            continue
+        mask = tissue.get_valid_non_edge_mask(f)
+        data, msg = get_frame_data(tissue, f, args.feature, mask)
+        if data is None:
+            print(f"frame {f}: {msg}")
+            continue
+        arr = np.atleast_1d(np.asarray(data, float))
+        rows.append({"frame": f, "mean": arr.mean(), "std": arr.std(),
+                     "n": arr.size})
+    df = pd.DataFrame(rows)
+    print(df.to_string(index=False))
+    if args.out:
+        from tissue_image_processing_tpu.core.export import write_table
+        write_table(df, args.out)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="tip", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, movie=True):
+        if movie:
+            sp.add_argument("movie", nargs="?", default=None)
+        sp.add_argument("--session", default=None, help=".seg session path")
+        sp.add_argument("--capacity", type=int, default=4096)
+        sp.add_argument("--frames", type=int, default=1)
+
+    sp = sub.add_parser("segment", help="watershed segmentation")
+    sp.add_argument("movie")
+    sp.add_argument("--session", default=None)
+    sp.add_argument("--capacity", type=int, default=4096)
+    sp.add_argument("--channel", type=int, default=0)
+    sp.add_argument("--threshold", type=float, default=0.2)
+    sp.add_argument("--std", type=float, default=3.0)
+    sp.add_argument("--block-size", dest="block_size", type=int, default=101)
+    sp.add_argument("--initial", type=int, default=1)
+    sp.add_argument("--final", type=int, default=0)
+    sp.set_defaults(fn=cmd_segment)
+
+    sp = sub.add_parser("unet", help="U-Net segmentation")
+    sp.add_argument("movie")
+    sp.add_argument("--session", default=None)
+    sp.add_argument("--capacity", type=int, default=4096)
+    sp.add_argument("--weights", default=None)
+    sp.add_argument("--atoh-channel", dest="atoh_channel", type=int, default=0)
+    sp.add_argument("--zo-channel", dest="zo_channel", type=int, default=1)
+    sp.add_argument("--initial", type=int, default=1)
+    sp.add_argument("--final", type=int, default=0)
+    sp.set_defaults(fn=cmd_unet)
+
+    sp = sub.add_parser("types", help="classify cell types by marker channel")
+    sp.add_argument("movie")
+    sp.add_argument("--session", default=None)
+    sp.add_argument("--capacity", type=int, default=4096)
+    sp.add_argument("--channel", type=int, default=0)
+    sp.add_argument("--name", default="HC")
+    sp.add_argument("--threshold", type=float, default=0.1)
+    sp.add_argument("--percentage", type=float, default=90)
+    sp.set_defaults(fn=cmd_types)
+
+    sp = sub.add_parser("track", help="track cells over the movie")
+    common(sp)
+    sp.add_argument("--channel", type=int, default=0)
+    sp.add_argument("--search-range", dest="search_range", type=float, default=100.0)
+    sp.add_argument("--memory", type=int, default=3)
+    sp.add_argument("--use-images", dest="use_images", action="store_true")
+    sp.add_argument("--fix-types", dest="fix_types", action="store_true")
+    sp.set_defaults(fn=cmd_track)
+
+    sp = sub.add_parser("events", help="detect division/delamination/differentiation")
+    common(sp, movie=False)
+    sp.add_argument("--type-name", dest="type_name", default="")
+    sp.set_defaults(fn=cmd_events)
+
+    sp = sub.add_parser("export", help="export segmentation / events")
+    common(sp, movie=False)
+    sp.add_argument("outdir")
+    sp.add_argument("--format", default="matlab",
+                    choices=["matlab", "tiff", "tiff+types", "npy", "events"])
+    sp.add_argument("--name", default=None)
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("analyze", help="per-frame feature statistics")
+    common(sp, movie=False)
+    sp.add_argument("--feature", default="area")
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_analyze)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
