@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+from test_tissue import make_tissue
+from tissue_image_processing_tpu.core import plotting as P
+
+
+@pytest.fixture
+def tracked_tissue():
+    tissue = make_tissue(T=4)
+    tissue.track_cells()
+    tissue.type_names = ["HC"]
+    for f in range(1, 5):
+        lab = tissue.get_labels(f)
+        marker = np.ones(lab.shape, np.float32)
+        marker[lab == 15] = 1000.0
+        tissue.calc_cell_types(marker, f, "HC", threshold=0.3)
+    return tissue
+
+
+def test_single_cell_data(tracked_tissue):
+    t = tracked_tissue
+    cid = int(np.asarray(t.get_cells_info(1).label)[14])
+    fig, ax = plt.subplots()
+    df = P.plot_single_cell_data(t, cid, "area", ax)
+    assert len(df) == 4
+    assert (df["area"] > 0).all()
+    plt.close(fig)
+
+
+def test_single_frame_plot(tracked_tissue):
+    fig, ax = plt.subplots()
+    res, msg = P.plot_single_frame_data(tracked_tissue, 1, "area", "roundness", ax)
+    assert res is not None and len(res) > 0
+    res2, _ = P.plot_single_frame_data(tracked_tissue, 1, "area", "histogram", ax)
+    assert "area" in res2.columns
+    plt.close(fig)
+
+
+def test_compare_frames_plot(tracked_tissue):
+    fig, ax = plt.subplots()
+    res, msg = P.plot_compare_frames_data(tracked_tissue, [1, 2, 3], "area", ax)
+    assert len(res) == 3
+    plt.close(fig)
+
+
+def test_spatial_map_plot(tracked_tissue):
+    fig, ax = plt.subplots()
+    m, msg = P.plot_spatial_map(tracked_tissue, 1, "HC type_fraction", 20, 16, ax)
+    assert m is not None and m.shape == (64, 64)
+    plt.close(fig)
+
+
+def test_event_related_plot(tracked_tissue):
+    t = tracked_tissue
+    cid = int(np.asarray(t.get_cells_info(1).label)[14])
+    cx = float(np.asarray(t.get_cells_info(2).cx)[14])
+    cy = float(np.asarray(t.get_cells_info(2).cy)[14])
+    t.add_event("ablation", 2, 3, start_pos=(int(cx), int(cy)))
+    fig, ax = plt.subplots()
+    df = P.plot_event_related_data(t, cid, 2, "area", 2, ax)
+    assert df is not None and len(df) > 0
+    plt.close(fig)
+
+
+def test_tissue_misc_api(tracked_tissue):
+    t = tracked_tissue
+    names = t.get_cell_type_names()
+    assert "('HC-pos',)" in names and "all" in names
+    cell = t.get_cell_by_pixel(5, 5, 1)
+    assert cell and cell["area"] > 0
+    feats = t.get_cells_features(1)
+    assert "roundness" in feats and "area" in feats
+    vf = t.find_valid_frames(1, 10)
+    assert vf.tolist() == [1, 2, 3]
+
+
+def test_fix_cell_label_and_events(tracked_tissue):
+    t = tracked_tissue
+    lab1 = np.asarray(t.get_cells_info(1).label)
+    old = int(lab1[14])
+    labels = t.get_labels(1)
+    ys, xs = np.nonzero(labels == 15)
+    t.fix_cell_label(1, (xs[0], ys[0]), 999)
+    assert int(np.asarray(t.get_cells_info(1).label)[14]) == 999
+    # propagated to subsequent frames
+    assert int(np.asarray(t.get_cells_info(2).label)[14]) == 999
+    # event fixups run
+    t.add_event("delamination", 1, 2, start_pos=(int(xs[0]), int(ys[0])))
+    t.fix_cell_pos_in_events()
+    t.fix_cell_id_in_events()
+    assert int(t.events.iloc[-1].cell_id) == 999
+    t.find_events_frame()

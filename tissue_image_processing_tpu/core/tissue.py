@@ -418,6 +418,175 @@ class Tissue:
         from tissue_image_processing_tpu.core import events as E
         return E.fix_cell_types_after_tracking(self, **kw)
 
+    # ---------------- misc public API parity
+
+    def get_cell_type_names(self):
+        """Powerset of pos/neg type combinations, nonsense filtered (reference
+        ``get_cell_type_names``, ``tissue_info.py:389-401``)."""
+        from itertools import chain, combinations
+
+        pos_neg = [f"{t}-pos" for t in self.type_names] + \
+                  [f"{t}-neg" for t in self.type_names]
+        full = chain.from_iterable(combinations(pos_neg, r)
+                                   for r in range(len(pos_neg) + 1))
+
+        def ok(x):
+            if not x:
+                return False
+            return not any(f"{t}-pos" in x and f"{t}-neg" in x
+                           for t in self.type_names)
+
+        return [str(x) for x in full if ok(x)] + self.CELL_TYPES
+
+    def get_cell_by_pixel(self, x: int, y: int, frame: int):
+        """Row dict of the cell under a pixel (reference ``get_cell_by_pixel``,
+        ``tissue_info.py:431-444``)."""
+        labels = self.get_labels(frame)
+        table = self.get_cells_info(frame)
+        if labels is None or table is None:
+            return None
+        idx = int(labels[int(y), int(x)]) - 1
+        if idx < 0 or idx >= self.capacity:
+            return {}
+        return {k: np.asarray(getattr(table, k))[idx]
+                for k in ["area", "perimeter", "label", "cx", "cy", "valid",
+                          "type", "empty_cell"]}
+
+    def get_cells_features(self, frame: int):
+        """(reference ``get_cells_features``, ``tissue_info.py:446-450``)."""
+        from tissue_image_processing_tpu.core.frame_data import (
+            SPECIAL_FEATURES, COLUMN_FEATURES)
+        if self.get_cells_info(frame) is None:
+            return []
+        return COLUMN_FEATURES + SPECIAL_FEATURES
+
+    def reset_all_data(self, channel_names=None):
+        """(reference ``reset_all_data``, ``tissue_info.py:274-291``)."""
+        self._labels = [None] * self.number_of_frames
+        self._cell_types = [None] * self.number_of_frames
+        self._tables = [None] * self.number_of_frames
+        self.type_names = []
+        if channel_names is not None:
+            self.channel_names = list(channel_names)
+        return 0
+
+    def find_valid_frames(self, initial_frame: int, final_frame: int) -> np.ndarray:
+        """(reference ``find_valid_frames``, ``tissue_info.py:622-627``)."""
+        initial_frame = max(1, initial_frame)
+        final_frame = min(self.number_of_frames, final_frame)
+        rng = np.arange(initial_frame, final_frame) - 1
+        return rng[self.valid_frames[rng] == 1] + 1
+
+    def fix_cell_label(self, frame: int, position, new_label: int) -> int:
+        """Manually retarget a track id at a clicked cell, swapping with any holder
+        and propagating to subsequent frames (reference ``fix_cell_label``,
+        ``tissue_info.py:2248-2280``)."""
+        import dataclasses
+        import jax.numpy as jnp
+
+        if new_label <= 0:
+            return 0
+        labels = self.get_labels(frame)
+        if labels is None:
+            return 0
+        x, y = int(position[0]), int(position[1])
+        idx = int(labels[y, x]) - 1
+        if idx < 0:
+            return 0
+        table = self.get_cells_info(frame)
+        if table is None:
+            return 0
+        ids = np.asarray(table.label).copy()
+        current = int(ids[idx])
+        holders = np.nonzero((ids == new_label) & np.asarray(table.valid_mask()))[0]
+        if holders.size:
+            ids[holders[0]] = current
+        ids[idx] = new_label
+        self.set_cells_info(frame, dataclasses.replace(
+            table, label=jnp.asarray(ids)))
+        for future in range(frame + 1, self.number_of_frames + 1):
+            t = self.get_cells_info(future)
+            if t is None:
+                continue
+            fid = np.asarray(t.label).copy()
+            m = np.asarray(t.valid_mask())
+            rows = np.nonzero((fid == current) & m)[0]
+            if not rows.size:
+                break
+            holders = np.nonzero((fid == new_label) & m)[0]
+            if holders.size:
+                fid[holders[0]] = current
+            fid[rows[0]] = new_label
+            self.set_cells_info(future, dataclasses.replace(
+                t, label=jnp.asarray(fid)))
+        return 0
+
+    def fix_cell_id_in_events(self) -> int:
+        """Re-resolve event cell ids from positions after re-tracking (reference
+        ``fix_cell_id_in_events``, ``tissue_info.py:2282-2305``)."""
+        for event_idx in self.events.index:
+            ev = self.events.loc[event_idx]
+            start_pos = (int(round(ev.start_pos_x)), int(round(ev.start_pos_y)))
+            end_pos = (int(round(ev.end_pos_x)), int(round(ev.end_pos_y)))
+            cell_id = self.get_cell_id_by_position(int(ev.start_frame), start_pos)
+            end_id = self.get_cell_id_by_position(int(ev.end_frame), end_pos)
+            self.events.at[event_idx, "cell_id"] = cell_id
+            daughter_pos = (int(round(ev.daughter_pos_x)),
+                            int(round(ev.daughter_pos_y)))
+            if daughter_pos != (0, 0):
+                did = self.get_cell_id_by_position(int(ev.end_frame), daughter_pos)
+                if cell_id == did:
+                    did = end_id
+                elif cell_id != end_id:
+                    self.fix_cell_label(int(ev.end_frame), end_pos, cell_id)
+                self.events.at[event_idx, "daughter_id"] = did
+            elif end_id != cell_id:
+                self.fix_cell_label(int(ev.end_frame), end_pos, cell_id)
+        return 0
+
+    def fix_cell_pos_in_events(self) -> int:
+        """Refresh event positions from current centroids (reference
+        ``fix_cell_pos_in_events``, ``tissue_info.py:2307-2331``)."""
+        for event_idx in self.events.index:
+            ev = self.events.loc[event_idx]
+            start = self.get_cell_centroid_by_id(int(ev.start_frame), int(ev.cell_id))
+            end = self.get_cell_centroid_by_id(int(ev.end_frame), int(ev.cell_id))
+            if start:
+                self.events.at[event_idx, "start_pos_x"] = start[0]
+                self.events.at[event_idx, "start_pos_y"] = start[1]
+            if end:
+                self.events.at[event_idx, "end_pos_x"] = end[0]
+                self.events.at[event_idx, "end_pos_y"] = end[1]
+            if int(ev.daughter_id) > 0:
+                d = self.get_cell_centroid_by_id(int(ev.end_frame),
+                                                 int(ev.daughter_id))
+                if d:
+                    self.events.at[event_idx, "daughter_pos_x"] = d[0]
+                    self.events.at[event_idx, "daughter_pos_y"] = d[1]
+        return 0
+
+    def find_events_frame(self) -> int:
+        """Recompute all significant frames (reference ``find_events_frame``,
+        ``tissue_info.py:991-996``)."""
+        from tissue_image_processing_tpu.core.events import find_event_frame
+        for i in self.events.index:
+            self.events.at[i, "significant_frame"] = int(
+                find_event_frame(self, self.events.loc[i]))
+        return 0
+
+    def split_into_promoted_and_normal_differentiation(self, threshold: float) -> int:
+        """Relabel differentiations near an ablation as 'promoted differentiation'
+        (reference ``split_into_promoted_and_normal_differentiation``,
+        ``tissue_info.py:1573-1608``, sans the figure dumps)."""
+        from tissue_image_processing_tpu.core.frame_data import get_event_statistics
+        res = get_event_statistics(self, "differentiation", "Distance from ablation")
+        if res is None or "Distance from ablation" not in res:
+            return 0
+        idx = self.events.query('type == "differentiation"').index.to_numpy()
+        near = res["Distance from ablation"].to_numpy() < threshold
+        self.events.loc[idx[near[:len(idx)]], "type"] = "promoted differentiation"
+        return 0
+
     # ---------------- persistence (.seg compatible)
 
     def _ensure_working_dir(self):
