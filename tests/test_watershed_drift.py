@@ -119,3 +119,35 @@ def test_binary_image(rng):
     out = np.asarray(binary_image(img, [0.3, 0.5, 0.7], channel_axis=0))
     for c, t in enumerate([0.3, 0.5, 0.7]):
         np.testing.assert_array_equal(out[c] > 0.5, img[c] > t)
+
+
+def test_native_watershed_matches_python_oracle():
+    from tissue_image_processing_tpu.native import (
+        meyer_watershed_native, native_available)
+    if not native_available():
+        import pytest
+        pytest.skip("no g++ toolchain")
+    img = make_cell_image(96, 96, n_seeds=12, seed=5)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    blurred = ndi.gaussian_filter(seg.astype(np.float32), 3.0).astype(np.float32)
+    got = meyer_watershed_native(blurred)
+    want = meyer_watershed(blurred)
+    # same minima, same labels up to heap tie-breaks at plateau boundaries
+    assert got.max() == want.max()
+    agree = (got == want).mean()
+    assert agree > 0.99, agree
+
+
+def test_tpu_watershed_dice_vs_native_large():
+    from tissue_image_processing_tpu.native import (
+        meyer_watershed_native, native_available)
+    if not native_available():
+        import pytest
+        pytest.skip("no g++ toolchain")
+    img = make_cell_image(256, 256, n_seeds=80, seed=11)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    blurred = ndi.gaussian_filter(seg.astype(np.float32), 3.0).astype(np.float32)
+    got = np.asarray(watershed(jnp.asarray(blurred)))
+    want = meyer_watershed_native(blurred)
+    d = best_dice(got, want)
+    assert d > 0.98, f"Dice {d:.4f} vs native Meyer flood"

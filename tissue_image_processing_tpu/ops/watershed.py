@@ -116,8 +116,11 @@ def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
     q_lam = [_nbr_val(lam, dy, dx, inf) for dy, dx in _NBRS4]
 
     # --- phase 2: settle in ascending (lam, arrival) order — Meyer's pop order. A
-    # pixel settles once every strictly-lower-lam neighbor has settled; it takes the
-    # label of its earliest-popped donor (min (lam_q, t_q)).
+    # pixel settles once every strictly-lower-lam neighbor has settled; at settle it
+    # looks at all earlier-popped labeled neighbors: one distinct label -> take it,
+    # two or more -> it is a watershed-line pixel (label 0, never donates — this is
+    # what stops a front from leaking across a saddle into the next basin), none ->
+    # void (unreached, like skimage pixels sealed off behind lines).
     state0 = dict(
         lbl=seeds,
         settled=seeded,
@@ -129,35 +132,65 @@ def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
     def sweep(state):
         lbl, settled, t = state["lbl"], state["settled"], state["t"]
         ready = jnp.ones((H, W), bool)
+        all_settled_eq = jnp.ones((H, W), bool)
         best_v = jnp.full((H, W), jnp.inf, jnp.float32)
         best_t = jnp.full((H, W), big_t, jnp.int32)
         best_l = jnp.zeros((H, W), jnp.int32)
+        minl = jnp.full((H, W), jnp.iinfo(jnp.int32).max, jnp.int32)
+        maxl = jnp.zeros((H, W), jnp.int32)
         for (dy, dx), qv in zip(_NBRS4, q_lam):
             ql = _nbr_val(lbl, dy, dx, 0)
             qs = _nbr_val(settled, dy, dx, True)
             qt = _nbr_val(t, dy, dx, big_t)
             ready = ready & ((~(qv < lam)) | qs)
+            all_settled_eq = all_settled_eq & ((~(qv <= lam)) | qs)
             donor = qs & (ql > 0) & (qv <= lam)
+            minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
+            maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
             better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
             best_v = jnp.where(better, qv, best_v)
             best_t = jnp.where(better, qt, best_t)
             best_l = jnp.where(better, ql, best_l)
-        can_settle = (~settled) & ready & (best_l > 0)
+        has_donor = maxl > 0
+        conflict = has_donor & (minl != maxl)
+        settle_lbl = (~settled) & ready & has_donor & (~conflict)
+        settle_line = (~settled) & ready & conflict
+        # void: nothing can ever donate (all <=lam neighbors settled, none labeled)
+        settle_void = (~settled) & ready & (~has_donor) & all_settled_eq
+        can = settle_lbl | settle_line | settle_void
         return dict(
-            lbl=jnp.where(can_settle, best_l, lbl),
-            settled=settled | can_settle,
-            t=jnp.where(can_settle, state["it"], t),
+            lbl=jnp.where(settle_lbl, best_l, jnp.where(can, 0, lbl)),
+            settled=settled | can,
+            t=jnp.where(can, state["it"], t),
             it=state["it"] + 1,
-            changed=jnp.any(can_settle),
+            changed=jnp.any(can),
         )
 
     state = jax.lax.while_loop(lambda s: s["changed"], sweep, state0)
     lbl, t = state["lbl"], state["t"]
     lbl = jnp.where(state["settled"], lbl, 0)
 
-    if watershed_line:
-        # a pixel where an earlier-popped ((lam, arrival, index) order) neighbor
-        # carries a different label is where skimage's colliding fronts leave a 0-line
+    if not watershed_line:
+        # fill line/void pixels from their earliest labeled neighbor
+        def fill_cond(s):
+            return s[1]
+
+        def fill_body(s):
+            cur, _ = s
+            best = jnp.zeros((H, W), jnp.int32)
+            bv = jnp.full((H, W), jnp.inf, jnp.float32)
+            for (dy, dx), qv in zip(_NBRS4, q_lam):
+                ql = _nbr_val(cur, dy, dx, 0)
+                take = (ql > 0) & (qv < bv)
+                best = jnp.where(take, ql, best)
+                bv = jnp.where(take, qv, bv)
+            new = jnp.where((cur == 0) & (best > 0), best, cur)
+            return new, jnp.any(new != cur)
+
+        lbl, _ = jax.lax.while_loop(fill_cond, fill_body, (lbl, jnp.bool_(True)))
+    else:
+        # simultaneous equal-(lam, t) meetings leave both sides labeled — flag the
+        # later one ((lam, t, index) order) as line like skimage's collision rule
         n = H * W
         idx2d = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
         line = jnp.zeros((H, W), bool)
