@@ -58,6 +58,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from tissue_image_processing_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
     from tissue_image_processing_tpu.core.tracking import (
         compute_drift_chain, track_movie)

@@ -114,3 +114,14 @@ def test_maintenance_fixups():
     np.testing.assert_allclose(np.asarray(tissue.get_cells_info(1).cy), cx_before)
     avg = M.calculate_average_area_in_movie(tissue)
     assert avg > 0
+
+
+def test_runtime_timer_and_cache(tmp_path):
+    from tissue_image_processing_tpu.utils.runtime import Timer, enable_compilation_cache
+    import jax.numpy as jnp
+    enable_compilation_cache(str(tmp_path / "cache"))
+    t = Timer()
+    with t.stage("x", result=jnp.ones(3)):
+        _ = jnp.ones((8, 8)).sum()
+    assert "x" in t.stages and t.stages["x"] >= 0
+    assert "x=" in t.report()

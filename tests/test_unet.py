@@ -134,3 +134,15 @@ def test_unet_postprocess_geometry():
     assert not hc[0, 0]
     lab = np.asarray(labels)
     assert lab.max() >= 2  # at least both blobs and background separated
+
+
+def test_predictor_batch():
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((3, 2, 60, 70)) * 50000).astype(np.float32)
+    pred = SegmentationPredictor(None, imgs[0].shape, depth=2, base_filters=8,
+                                 dtype=jnp.float32)
+    labels, hc = pred.predict_batch(imgs)
+    assert labels.shape == (3, 70, 60)
+    assert hc.shape == (3, 70, 60)
+    l0, h0 = pred.predict(imgs[0])
+    np.testing.assert_array_equal(np.asarray(labels[0]), np.asarray(l0))

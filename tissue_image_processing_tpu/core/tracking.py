@@ -34,20 +34,28 @@ __all__ = ["TrackingState", "link_frames", "track_movie", "compute_drift_chain",
 _NEG = -jnp.inf
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds",))
+@functools.partial(jax.jit, static_argnames=("max_rounds", "cand_k"))
 def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
                        object_mask: jnp.ndarray, eps: float = 1e-3,
-                       max_rounds: int = 512) -> jnp.ndarray:
-    """Forward auction for the assignment problem.
+                       max_rounds: int = 512,
+                       cand_k: Optional[int] = None) -> jnp.ndarray:
+    """Forward auction for the assignment problem with top-k candidate pruning.
 
     Args:
       benefit: (M, K) — value of assigning person m to object k; pairs that must not
         match are -inf. Staying unassigned has value 0, so persons whose best
         attainable net value is negative remain unassigned (trackpy's null link).
+      cand_k: each person only bids on its cand_k best objects (default min(8, K)) —
+        the dense matrix is touched once for the top-k; every auction round then
+        runs on (M, cand_k) arrays. For tracking, candidates beyond the 8 nearest
+        tracks are never optimal matches.
     Returns (M,) object index per person, -1 if unassigned.
     """
     M, K = benefit.shape
-    b = jnp.where(person_mask[:, None] & object_mask[None, :], benefit, _NEG)
+    C = min(cand_k or 8, K)
+    b_full = jnp.where(person_mask[:, None] & object_mask[None, :], benefit, _NEG)
+    b, cand = jax.lax.top_k(b_full, C)  # (M, C) benefits + object indices
+    person_idx = jnp.arange(M)
 
     def cond(state):
         _, _, _, again, rounds = state
@@ -56,32 +64,32 @@ def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
     def body(state):
         price, owner, person_obj, _, rounds = state
         active = person_mask & (person_obj < 0)
-        vals = b - price[None, :]
+        vals = b - price[cand]
         v1 = jnp.max(vals, axis=1)
         j1 = jnp.argmax(vals, axis=1)
-        vals2 = vals.at[jnp.arange(M), j1].set(_NEG)
+        vals2 = vals.at[person_idx, j1].set(_NEG)
         v2 = jnp.max(vals2, axis=1)
         bidding = active & (v1 >= 0.0)
+        obj = cand[person_idx, j1]
         incr = v1 - jnp.maximum(v2, 0.0) + eps
-        bid_price = price[j1] + incr
+        bid_price = price[obj] + incr
         # resolve one winner per object: max bid, ties to the lowest person index
         key = jnp.where(bidding, bid_price, _NEG)
-        obj_best = jax.ops.segment_max(key, j1, num_segments=K)
-        is_best = bidding & (key == obj_best[j1])
-        person_idx = jnp.arange(M)
-        first = jax.ops.segment_min(jnp.where(is_best, person_idx, M), j1,
-                                    num_segments=K)
-        winner = is_best & (person_idx == first[j1])
-        won_obj = j1
+        seg = jnp.where(bidding, obj, K)  # park non-bidders in a trash segment
+        obj_best = jax.ops.segment_max(key, seg, num_segments=K + 1)[:K]
+        is_best = bidding & (key == obj_best[obj])
+        first = jax.ops.segment_min(jnp.where(is_best, person_idx, M), seg,
+                                    num_segments=K + 1)[:K]
+        winner = is_best & (person_idx == first[obj])
         # evict previous owners of newly won objects (segment_sum: empty segments
         # are 0 — segment_max's identity for int32 is INT_MIN which casts to True)
-        newly_won = jax.ops.segment_sum(winner.astype(jnp.int32), j1,
-                                        num_segments=K) > 0
+        newly_won = jax.ops.segment_sum(winner.astype(jnp.int32), seg,
+                                        num_segments=K + 1)[:K] > 0
         evicted = (owner >= 0) & newly_won
         person_obj = person_obj.at[jnp.where(evicted, owner, M)].set(-1, mode="drop")
         # assign winners
-        person_obj = jnp.where(winner, won_obj, person_obj)
-        owner = owner.at[jnp.where(winner, won_obj, K)].set(
+        person_obj = jnp.where(winner, obj, person_obj)
+        owner = owner.at[jnp.where(winner, obj, K)].set(
             jnp.where(winner, person_idx, 0), mode="drop")
         price = jnp.where(newly_won, obj_best, price)
         again = jnp.any(bidding)

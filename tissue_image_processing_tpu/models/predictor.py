@@ -100,11 +100,9 @@ class SegmentationPredictor:
         """(B, C, Y, X) equally-sized batch -> (B, X, Y) labels + (B, X, Y) HC —
         the TPU path for multi-frame segmentation (one forward pass, vmapped
         post-process)."""
-        def one(img):
-            padded, npad = self.prepare_image(img)
-            return padded[0], npad
-        padded0, npad = self.prepare_image(images[0])
-        batch = jnp.stack([self.prepare_image(i)[0][0] for i in images])
+        prepared = [self.prepare_image(i) for i in images]
+        npad = prepared[0][1]
+        batch = jnp.concatenate([p[0] for p in prepared], axis=0)
         preds = self._apply(self.variables, batch)
         preds = preds[:, npad[1][0]:, npad[2][0]:, :]
         labels, hc = jax.vmap(unet_postprocess)(preds)

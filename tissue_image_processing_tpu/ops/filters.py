@@ -64,7 +64,8 @@ def _band_matrix_nearest(kernel: jnp.ndarray, length: int) -> jnp.ndarray:
 _MATMUL_TAP_THRESHOLD = 31
 
 
-def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.ndarray:
+def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int,
+                         precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Correlate ``x`` with ``kernel`` along ``axis`` using edge-replicate padding."""
     ksize = kernel.shape[0]
     if ksize == 1:
@@ -77,7 +78,7 @@ def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.
         B = _band_matrix_nearest(kernel.astype(jnp.float32), L)
         flat = x.reshape(-1, L)
         out = jnp.dot(flat, B.T, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=precision)
         out = out.reshape(shape)
         return jnp.moveaxis(out, -1, axis)
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="edge")
@@ -95,27 +96,31 @@ def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int) -> jnp.
     return jnp.moveaxis(out, -1, axis)
 
 
-@functools.partial(jax.jit, static_argnames=("std", "truncate"))
+@functools.partial(jax.jit, static_argnames=("std", "truncate", "fast"))
 def gaussian_blur(
     image: jnp.ndarray,
     std: Union[float, Sequence[float]],
     truncate: float = 4.0,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Gaussian blur matching ``scipy.ndimage.gaussian_filter(image, std, mode='nearest')``
     (the reference's ``blur_image``, ``basic_image_manipulations.py:373-390``).
 
     ``std`` may be a scalar (applied to every axis) or one value per axis; it must be a
-    static (Python) value since it determines kernel sizes.
+    static (Python) value since it determines kernel sizes. ``fast=True`` lets the
+    banded matmuls run at the MXU's default (bf16-multiply) precision — right for
+    scoring paths where only the argmax matters, ~6x faster than exact f32.
     """
     if not hasattr(std, "__len__"):
         std = (float(std),) * image.ndim
     std = tuple(float(s) for s in std)
     if len(std) != image.ndim:
         raise ValueError(f"std {std} does not match image ndim {image.ndim}")
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     out = image.astype(jnp.float32)
     for axis, sigma in enumerate(std):
         kernel = gaussian_kernel1d(sigma, truncate)
-        out = _correlate1d_nearest(out, kernel, axis)
+        out = _correlate1d_nearest(out, kernel, axis, precision=precision)
     return out
 
 

@@ -8,11 +8,9 @@ max-projection — is one jitted function over a (C, Z, Y, X) stack, vmappable o
 frame batches so a movie projects as a single device program.
 
 The sequential spiral manifold builder (``build_continues_manifold``,
-``surface_projection.py:87-128``) is re-expressed as a parallel fixed-point
-relaxation: starting from the unconstrained argmax, every pixel repeatedly re-picks
-its best plane inside [min(neighbor z) - 1, max(neighbor z) + 1] until the height map
-is stable, which enforces the same |dz| <= 1 continuity the reference builds pixel by
-pixel in spiral order.
+``surface_projection.py:87-128``) is re-expressed as a parallel BFS wavefront with
+the reference's hard two-neighbor +-1 window rule — see
+``build_continuous_manifold``.
 """
 
 from __future__ import annotations
@@ -133,7 +131,7 @@ def time_point_surface_projection(
 
     if bin_size > 1:
         if method == "max_averages":
-            score = block_reduce(gaussian_blur(proj_ch, (0.5, 30.0, 30.0)),
+            score = block_reduce(gaussian_blur(proj_ch, (0.5, 30.0, 30.0), fast=True),
                                  (1, bin_size, bin_size), "mean")
         elif method == "max_std":
             score = block_reduce(proj_ch, (1, bin_size, bin_size), "var")
@@ -143,13 +141,13 @@ def time_point_surface_projection(
             atoh = jnp.minimum(atoh, atoh_p95)
             atoh = gaussian_blur(atoh, (0.5, 1.0, 1.0))
             zo_score = block_reduce(proj_ch, (1, bin_size, bin_size), "var")
-            atoh_score = block_reduce(gaussian_blur(atoh, (0.5, 30.0, 30.0)),
+            atoh_score = block_reduce(gaussian_blur(atoh, (0.5, 30.0, 30.0), fast=True),
                                       (1, bin_size, bin_size), "mean")
             score = atoh_score * zo_score
         else:
             raise ValueError(f"No such method {method}")
     else:
-        score = gaussian_blur(proj_ch, (0.5, 30.0, 30.0))
+        score = gaussian_blur(proj_ch, (0.5, 30.0, 30.0), fast=True)
 
     if build_manifold:
         chosen_small = build_continuous_manifold(score)

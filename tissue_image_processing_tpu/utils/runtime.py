@@ -1,0 +1,60 @@
+"""Runtime configuration helpers: persistent compilation cache + profiling.
+
+The reference has no instrumentation beyond prints (SURVEY.md §5.1); here the
+pipeline drivers opt into JAX's persistent compilation cache (first compiles of the
+big fused movie programs take minutes on the tunneled TPU) and expose
+``jax.profiler`` traces as a first-class tool.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+__all__ = ["enable_compilation_cache", "trace", "Timer"]
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Persist compiled executables across processes (no-op if unsupported)."""
+    import jax
+
+    path = path or os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/tip_trace"):
+    """jax.profiler trace context (view with tensorboard / xprof)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Timer:
+    """Wall-clock stage timer with a synchronizing host read."""
+
+    def __init__(self):
+        self.stages = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, result=None):
+        t0 = time.time()
+        yield
+        if result is not None:
+            import numpy as np
+            np.asarray(result).ravel()[:1]
+        self.stages[name] = self.stages.get(name, 0.0) + time.time() - t0
+
+    def report(self) -> str:
+        return ", ".join(f"{k}={v * 1000:.0f}ms" for k, v in self.stages.items())
