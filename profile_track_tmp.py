@@ -1,44 +1,35 @@
-import time, sys
+import time
 import numpy as np
 import jax, jax.numpy as jnp
 from bench import make_movie
 from tissue_image_processing_tpu.utils.runtime import enable_compilation_cache
 enable_compilation_cache()
 from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
-from tissue_image_processing_tpu.core.tracking import compute_drift_chain, track_movie
-from tissue_image_processing_tpu.ops.watershed import watershed_segmentation
+from tissue_image_processing_tpu.ops.watershed import watershed_segmentation, regional_minima_labels, watershed
+from tissue_image_processing_tpu.ops.local_threshold import threshold_local_max
+from tissue_image_processing_tpu.ops.filters import gaussian_blur
 from tissue_image_processing_tpu.projection.surface import time_point_surface_projection
 
-T, Z, H, W = 4, 30, 1024, 1024
+Z, H, W = 30, 1024, 1024
 cap = 2048
-movie = make_movie(T, Z, H, W)
+movie = make_movie(1, Z, H, W)
+stack = jnp.asarray(movie[0])
 print("movie built", flush=True)
 
-def one_frame(stack):
-    proj, zmap = time_point_surface_projection(stack, reference_channel=0, airyscan=False)
-    labels = watershed_segmentation(proj[0], 0.2, 3.0, 101)
-    table = frame_cellinfo(labels, capacity=cap)
-    return proj[0], table.cy, table.cx, table.area, table.valid_mask()
+def timeit(name, f, *a, n=4):
+    t0=time.time(); r = f(*a); np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    print("%s compile+1st: %.1fs" % (name, time.time()-t0), flush=True)
+    t0=time.time()
+    for _ in range(n): r = f(*a)
+    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    print("%s warm: %.0f ms" % (name, (time.time()-t0-0.027)/n*1000), flush=True)
+    return r
 
-pipe1 = jax.jit(one_frame)
-t0=time.time()
-out = pipe1(jnp.asarray(movie[0])); np.asarray(out[1][:1])
-print("pipe1 compile+run: %.1fs" % (time.time()-t0), flush=True)
-t0=time.time()
-outs = [pipe1(jnp.asarray(movie[t])) for t in range(T)]
-np.asarray(outs[-1][1][:1])
-dt = time.time()-t0
-print("pipe1 warm x%d: %.2fs -> %.0f ms/frame" % (T, dt, dt/T*1000), flush=True)
-
-projs = jnp.stack([o[0] for o in outs])
-cys = jnp.stack([o[1] for o in outs]); cxs = jnp.stack([o[2] for o in outs])
-areas = jnp.stack([o[3] for o in outs]); masks = jnp.stack([o[4] for o in outs])
-
-drift_fn = jax.jit(compute_drift_chain)
-t0=time.time(); d = drift_fn(projs); np.asarray(d[:1]); print("drift compile+run: %.1fs" % (time.time()-t0), flush=True)
-t0=time.time(); d = drift_fn(projs); np.asarray(d[:1]); print("drift warm: %.2fs" % (time.time()-t0), flush=True)
-
-track_fn = jax.jit(lambda cy,cx,a,m,dr: track_movie(cy,cx,a,m,drifts=dr,capacity=2*cap))
-t0=time.time(); ids = track_fn(cys,cxs,areas,masks,d); np.asarray(ids[:1,:1]); print("track compile+run: %.1fs" % (time.time()-t0), flush=True)
-t0=time.time(); ids = track_fn(cys,cxs,areas,masks,d); np.asarray(ids[:1,:1]); print("track warm (%d frames): %.2fs" % (T, time.time()-t0), flush=True)
+proj, zmap = timeit("projection", jax.jit(lambda s: time_point_surface_projection(s, reference_channel=0, airyscan=False)), stack)
+img = proj[0]
+timeit("thr_local", jax.jit(lambda x: threshold_local_max(x, 101)), img)
+timeit("blur3", jax.jit(lambda x: gaussian_blur(x, 3.0)), img)
+timeit("reg_minima", regional_minima_labels, img)
+lab = timeit("watershed_seg", jax.jit(lambda x: watershed_segmentation(x, 0.2, 3.0, 101)), img)
+timeit("frame_cellinfo", jax.jit(lambda l: frame_cellinfo(l, capacity=cap)), lab)
 print("DONE", flush=True)

@@ -95,3 +95,25 @@ def test_fix_cell_label_and_events(tracked_tissue):
     t.fix_cell_id_in_events()
     assert int(t.events.iloc[-1].cell_id) == 999
     t.find_events_frame()
+
+
+def test_fix_one_frame_tracking(tracked_tissue):
+    import dataclasses
+    import jax.numpy as jnp
+    t = tracked_tissue
+    # corrupt frame 3+ tracking: shuffle labels
+    for f in (3, 4):
+        tab = t.get_cells_info(f)
+        ids = np.asarray(tab.label).copy()
+        m = np.asarray(tab.valid_mask())
+        rows = np.nonzero(m)[0]
+        ids[rows] = ids[np.roll(rows, 1)]
+        t.set_cells_info(f, dataclasses.replace(tab, label=jnp.asarray(ids)))
+    before = np.asarray(t.get_cells_info(3).label)[14]
+    t.fix_one_frame_tracking_using_local_drifts(2, 3)
+    after3 = int(np.asarray(t.get_cells_info(3).label)[14])
+    after2 = int(np.asarray(t.get_cells_info(2).label)[14])
+    assert after3 == after2  # relinked to the frame-2 id (same position)
+    # propagated forward consistently
+    after4 = int(np.asarray(t.get_cells_info(4).label)[14])
+    assert after4 == after3 or after4 > 0

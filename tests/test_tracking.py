@@ -164,3 +164,25 @@ def test_frame_cellinfo():
     back = CellTable.from_pandas(df, capacity=8)
     np.testing.assert_allclose(np.asarray(back.area), np.asarray(table.area))
     assert np.asarray(back.n_neighbors).tolist() == np.asarray(table.n_neighbors).tolist()
+
+
+def test_track_movie_nearest_pixel():
+    from tissue_image_processing_tpu.core.tracking import track_movie_nearest_pixel
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_tissue import grid_labels
+    T = 3
+    labels = np.stack([grid_labels() for _ in range(T)])
+    N = 64
+    cy = np.zeros((T, N), np.float32)
+    cx = np.zeros((T, N), np.float32)
+    mask = np.zeros((T, N), bool)
+    for t in range(T):
+        for l in range(1, 37):
+            ys, xs = np.nonzero(labels[t] == l)
+            cy[t, l - 1] = ys.mean()
+            cx[t, l - 1] = xs.mean()
+            mask[t, l - 1] = True
+    ids = track_movie_nearest_pixel(labels, cy, cx, mask)
+    assert (ids[0, :36] == ids[1, :36]).all() and (ids[1, :36] == ids[2, :36]).all()
+    assert len(set(ids[0, :36].tolist())) == 36

@@ -418,6 +418,103 @@ class Tissue:
         from tissue_image_processing_tpu.core import events as E
         return E.fix_cell_types_after_tracking(self, **kw)
 
+    def fix_one_frame_tracking_using_local_drifts(
+            self, start_frame: int, end_frame: int, images=None,
+            step_size: int = 100, window_size: int = 700,
+            start_frame_pos=None, end_frame_pos=None) -> int:
+        """Repair tracking across one bad transition using a windowed local drift
+        field, then re-link the two frames and propagate the relabeling LUT to all
+        subsequent frames (reference ``fix_one_frame_tracking_using_local_drifts``,
+        ``tissue_info.py:2115-2246``)."""
+        import dataclasses
+        import jax.numpy as jnp
+
+        from tissue_image_processing_tpu.core.tracking import (
+            auction_assignment, local_drift_field)
+
+        next_frame = -1
+        for frame in range(start_frame + 1, self.number_of_frames + 1):
+            if self.is_frame_valid(frame):
+                next_frame = frame
+                break
+        if next_frame < 0 or next_frame != end_frame:
+            return 0
+        t1 = self.get_cells_info(start_frame)
+        t2 = self.get_cells_info(end_frame)
+        if t1 is None or t2 is None:
+            return 0
+        m1 = np.asarray(t1.valid_mask())
+        m2 = np.asarray(t2.valid_mask())
+        cx1 = np.asarray(t1.cx).copy()
+        cy1 = np.asarray(t1.cy).copy()
+        if start_frame_pos is not None and end_frame_pos is not None:
+            c1 = self.get_cell_centroid_by_id(
+                start_frame, self.get_cell_id_by_position(start_frame, start_frame_pos))
+            c2 = self.get_cell_centroid_by_id(
+                end_frame, self.get_cell_id_by_position(end_frame, end_frame_pos))
+            cx1 += c2[0] - c1[0]
+            cy1 += c2[1] - c1[1]
+        elif images is not None:
+            sy, sx = local_drift_field(
+                jnp.asarray(np.asarray(images[start_frame - 1], np.float32)),
+                jnp.asarray(np.asarray(images[end_frame - 1], np.float32)),
+                window_size=window_size, step_size=step_size)
+            sy = np.asarray(sy)
+            sx = np.asarray(sx)
+            yy = np.clip(np.round(cy1).astype(int), 0, sy.shape[0] - 1)
+            xx = np.clip(np.round(cx1).astype(int), 0, sy.shape[1] - 1)
+            cx1 -= sx[yy, xx]
+            cy1 -= sy[yy, xx]
+        # re-link the two frames (persons = end-frame cells, objects = start-frame)
+        sr2 = 100.0 ** 2
+        dy = cy1[None, :] - np.asarray(t2.cy)[:, None]
+        dx = cx1[None, :] - np.asarray(t2.cx)[:, None]
+        da = np.sqrt(np.maximum(np.asarray(t1.area), 0))[None, :] - \
+            np.sqrt(np.maximum(np.asarray(t2.area), 0))[:, None]
+        cost2 = dy * dy + dx * dx + 0.5 * da * da
+        benefit = np.where(cost2 < sr2, sr2 - cost2, -np.inf).astype(np.float32)
+        person_obj = np.asarray(auction_assignment(
+            jnp.asarray(benefit), jnp.asarray(m2), jnp.asarray(m1)))
+        ids1 = np.asarray(t1.label)
+        old_labels = np.asarray(t2.label).copy()
+        new_labels = old_labels.copy()
+        linked = (person_obj >= 0) & m2
+        new_labels[linked] = ids1[person_obj[linked]]
+        # unlinked cells that reuse a first-frame label get fresh ids
+        first_labels = ids1[m1]
+        unlinked = m2 & (~linked) & np.isin(new_labels, first_labels)
+        top = max(int(first_labels.max(initial=0)), int(new_labels.max(initial=0)))
+        new_labels[unlinked] = top + 1 + np.arange(unlinked.sum())
+        self.set_cells_info(end_frame, dataclasses.replace(
+            t2, label=jnp.asarray(np.where(m2, new_labels, old_labels))))
+        # LUT for subsequent frames; labels skipping end_frame keep their identity
+        lut = {int(o): int(n) for o, n in zip(old_labels[m2], new_labels[m2])}
+        skip = set(int(v) for v in first_labels) - set(lut.keys()) - set(lut.values())
+        lut.update({s: s for s in skip})
+        for frame in range(end_frame + 1, self.number_of_frames + 1):
+            t = self.get_cells_info(frame)
+            if t is None or not self.is_frame_valid(frame):
+                continue
+            ids = np.asarray(t.label).copy()
+            m = np.asarray(t.valid_mask())
+            used = set(lut.values())
+            top = max([int(ids[m].max(initial=0))] + list(used))
+            for i in np.nonzero(m)[0]:
+                lab = int(ids[i])
+                if lab in lut:
+                    ids[i] = lut[lab]
+                elif lab in used:
+                    top += 1
+                    lut[lab] = top
+                    used.add(top)
+                    ids[i] = top
+                else:
+                    lut[lab] = lab
+                    used.add(lab)
+            self.set_cells_info(frame, dataclasses.replace(
+                t, label=jnp.asarray(ids)))
+        return 0
+
     # ---------------- misc public API parity
 
     def get_cell_type_names(self):

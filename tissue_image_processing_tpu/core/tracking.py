@@ -235,6 +235,59 @@ def track_movie(
     return jnp.where(mask & frame_valid[:, None], ids, 0)
 
 
+def track_movie_nearest_pixel(labels_stack: np.ndarray, cy: np.ndarray,
+                              cx: np.ndarray, mask: np.ndarray,
+                              drifts: Optional[np.ndarray] = None,
+                              frame_valid: Optional[np.ndarray] = None) -> np.ndarray:
+    """Legacy nearest-pixel tracker (reference ``track_cells_iterator``,
+    ``tissue_info.py:2037-2113``): each previous-frame centroid, shifted by the
+    drift, samples the 3x3-dilated current label map; duplicate assignments are
+    deduped (first occurrence wins), unmatched cells get fresh ids.
+
+    Host-side alternative to the auction tracker, kept for API parity. Arrays:
+    labels_stack (T, H, W) int; cy/cx/mask (T, N) padded per-frame tables.
+    Returns (T, N) track ids.
+    """
+    from scipy.ndimage import maximum_filter as ndi_max
+
+    T, N = cy.shape
+    if drifts is None:
+        drifts = np.zeros((T, 2))
+    if frame_valid is None:
+        frame_valid = np.ones((T,), bool)
+    ids = np.zeros((T, N), np.int64)
+    first = next((t for t in range(T) if frame_valid[t]), None)
+    if first is None:
+        return ids
+    n0 = int(mask[first].sum())
+    ids[first, mask[first]] = np.arange(1, n0 + 1)
+    next_id = n0 + 1
+    prev = first
+    for t in range(first + 1, T):
+        if not frame_valid[t]:
+            continue
+        dil = ndi_max(labels_stack[t], size=(3, 3), mode="constant")
+        py = np.round(cy[prev] - drifts[t, 0]).astype(int)
+        px = np.round(cx[prev] - drifts[t, 1]).astype(int)
+        H, W = dil.shape
+        ok = mask[prev] & (py >= 0) & (py < H) & (px >= 0) & (px < W)
+        cur_rows = np.full(N, -1)
+        cur_rows[ok] = dil[py[ok], px[ok]] - 1
+        taken_rows = set()
+        for i in np.nonzero(ok & (cur_rows >= 0))[0]:
+            r = int(cur_rows[i])
+            if r in taken_rows or r >= N or not mask[t, r] or ids[t, r] != 0:
+                continue
+            taken_rows.add(r)
+            ids[t, r] = ids[prev, i]
+        fresh = mask[t] & (ids[t] == 0)
+        k = int(fresh.sum())
+        ids[t, fresh] = np.arange(next_id, next_id + k)
+        next_id += k
+        prev = t
+    return ids
+
+
 def compute_drift_chain(images: jnp.ndarray, upsample_factor: int = 100) -> jnp.ndarray:
     """(T, H, W) frame stack -> (T, 2) per-frame drifts, drift[0] = 0.
 
