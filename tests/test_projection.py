@@ -50,10 +50,23 @@ def reference_projection_oracle(stack, reference_channel=0, airyscan=False):
 def test_projection_matches_reference_oracle():
     stack, depth = synthetic_stack()
     got_proj, got_z = time_point_surface_projection(
-        jnp.asarray(stack), reference_channel=0, airyscan=False)
+        jnp.asarray(stack), reference_channel=0, airyscan=False, precise=True)
     want_proj, want_z = reference_projection_oracle(stack)
     np.testing.assert_array_equal(np.asarray(got_z), want_z)
     np.testing.assert_allclose(np.asarray(got_proj), want_proj, rtol=1e-4, atol=0.5)
+
+
+def test_projection_fast_mode_close_to_exact():
+    # default (fast) scoring approximates the sigma=30 Gaussian with a box cascade;
+    # the height map may flip by at most one plane on near-ties
+    stack, depth = synthetic_stack()
+    fast_proj, fast_z = time_point_surface_projection(
+        jnp.asarray(stack), reference_channel=0, airyscan=False)
+    want_proj, want_z = reference_projection_oracle(stack)
+    dz = np.abs(np.asarray(fast_z) - want_z)
+    assert dz.max() <= 1
+    rel = np.abs(np.asarray(fast_proj) - want_proj) / (np.abs(want_proj) + 1.0)
+    assert np.median(rel) < 0.01
 
 
 def test_projection_height_map_tracks_depth():

