@@ -151,3 +151,53 @@ def test_tpu_watershed_dice_vs_native_large():
     want = meyer_watershed_native(blurred)
     d = best_dice(got, want)
     assert d > 0.98, f"Dice {d:.4f} vs native Meyer flood"
+
+
+def test_watershed_pallas_path_matches_xla():
+    # run the pallas flood kernels in interpret mode on CPU and compare with the
+    # XLA path bit-for-bit
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    import tissue_image_processing_tpu.ops.watershed as WS_mod
+    import importlib
+    WS = importlib.import_module("tissue_image_processing_tpu.ops.watershed")
+    from jax.experimental import pallas as pl
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    img = make_cell_image(128, 128, n_seeds=15, seed=9)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    blurred = jnp.asarray(ndi.gaussian_filter(seg.astype(np.float32), 3.0)
+                          .astype(np.float32))
+    want = np.asarray(WS.watershed(blurred, use_pallas=False))
+    FP.pl.pallas_call = interp_call
+    try:
+        # unjitted call: the monkeypatched pallas_call must be live at trace time
+        got = np.asarray(WS.watershed.__wrapped__(blurred, use_pallas=True))
+    finally:
+        FP.pl.pallas_call = orig_call
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cc_diffusion_pallas_matches_cc():
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    from tissue_image_processing_tpu.ops.components import (
+        connected_components, relabel_sequential)
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    rng = np.random.default_rng(3)
+    mask = rng.random((128, 128)) < 0.5
+    FP.pl.pallas_call = interp_call
+    try:
+        got = np.asarray(relabel_sequential(
+            FP.cc_diffusion_pallas(jnp.asarray(mask)), background=-1))
+    finally:
+        FP.pl.pallas_call = orig_call
+    want = np.asarray(connected_components(jnp.asarray(mask), connectivity=1))
+    np.testing.assert_array_equal(got, want)

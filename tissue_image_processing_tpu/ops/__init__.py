@@ -32,6 +32,7 @@ from tissue_image_processing_tpu.ops.components import (  # noqa: F401
 )
 from tissue_image_processing_tpu.ops.local_threshold import threshold_local_max  # noqa: F401
 from tissue_image_processing_tpu.ops.watershed import (  # noqa: F401
+    regional_minima_labels,
     watershed,
     watershed_segmentation,
 )

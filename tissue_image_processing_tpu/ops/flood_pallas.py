@@ -1,0 +1,289 @@
+"""Pallas TPU kernels for the watershed flood — the hot loop of the pipeline.
+
+The XLA formulation of the flood (ops/watershed.py) runs ~170 data-parallel sweeps;
+each sweep re-reads/re-writes the full state from HBM (~30 elementwise passes), so a
+1024^2 flood costs hundreds of ms. These kernels keep the ENTIRE state (flood levels,
+labels, arrival steps) resident in VMEM across all sweeps, so each sweep touches HBM
+zero times:
+
+- ``bf_flood_pallas``: phase-1 Bellman-Ford flood levels (min-max semiring).
+- ``settle_pallas``: phase-2 ascending settle with Meyer conflict->line semantics.
+
+Both process the image in row blocks inside a single kernel launch; to keep pure
+Jacobi (synchronous) semantics while updating in place, each sweep first snapshots the
+rows on block boundaries and lets blocks read their out-of-block halo from the
+snapshot. Semantics match ops/watershed.py exactly (asserted in tests on CPU via
+interpret mode and against the XLA path).
+
+VMEM budget at 1024x1024: lam(f32) + lbl(i32) + t(i32) state refs = 12 MB, plus one
+(block+2, W) working set per temporary — block height 128 keeps temporaries ~4 MB.
+Images larger than a single-core budget fall back to the XLA path (tiled halo
+exchange is future work).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bf_flood_pallas", "settle_pallas", "cc_diffusion_pallas",
+           "pallas_flood_supported"]
+
+_BLOCK = 64
+_MAX_SWEEPS = 4096
+# v5e/v4 have far more physical VMEM than Mosaic's 16 MB default scoped limit; the
+# settle kernel's 12 MB of resident state plus per-block temporaries needs ~17 MB.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def pallas_flood_supported(shape) -> bool:
+    H, W = shape
+    return (H % _BLOCK == 0) and (W % 128 == 0) and H * W <= 1024 * 1024 and W <= 2048
+
+
+def _shift_rows(x, down: bool, edge):
+    """Shift a (rows, W) block by one row; vacated row filled with ``edge`` row."""
+    if down:   # out[r] = x[r-1]
+        return jnp.concatenate([edge[None, :], x[:-1]], axis=0)
+    return jnp.concatenate([x[1:], edge[None, :]], axis=0)
+
+
+def _shift_cols(x, right: bool, fill):
+    if right:  # out[:, c] = x[:, c-1]
+        return jnp.concatenate([jnp.full((x.shape[0], 1), fill, x.dtype),
+                                x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:],
+                            jnp.full((x.shape[0], 1), fill, x.dtype)], axis=1)
+
+
+def _bf_kernel(img_ref, lam_in_ref, lam_ref, halo_ref):
+    del lam_in_ref  # aliased with lam_ref
+    """lam <- min(lam, max(shift(lam), img)) iterated to fixpoint, in VMEM."""
+    H, W = img_ref.shape
+    n_blocks = H // _BLOCK
+    inf = jnp.float32(jnp.inf)
+
+    def sweep(carry):
+        _, it = carry
+        # snapshot block-boundary halo rows (pre-sweep state) for Jacobi semantics
+        for b in range(n_blocks):
+            halo_ref[2 * b, :] = lam_ref[b * _BLOCK, :]
+            halo_ref[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
+        changed = jnp.bool_(False)
+        for b in range(n_blocks):
+            r0 = b * _BLOCK
+            lam = lam_ref[pl.ds(r0, _BLOCK), :]
+            img = img_ref[pl.ds(r0, _BLOCK), :]
+            up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), inf)
+            dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), inf)
+            cand = jnp.minimum(
+                jnp.minimum(_shift_rows(lam, True, up_edge),
+                            _shift_rows(lam, False, dn_edge)),
+                jnp.minimum(_shift_cols(lam, True, inf),
+                            _shift_cols(lam, False, inf)))
+            new = jnp.minimum(lam, jnp.maximum(cand, img))
+            changed = changed | jnp.any(new < lam)
+            lam_ref[pl.ds(r0, _BLOCK), :] = new
+        return changed, it + 1
+
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep,
+                       (jnp.bool_(True), jnp.int32(0)))
+
+
+@jax.jit
+def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray) -> jnp.ndarray:
+    """Flood levels lam = minimax path elevation from any seed (phase 1)."""
+    H, W = img.shape
+    lam0 = jnp.where(seeds > 0, img, jnp.inf).astype(jnp.float32)
+    return pl.pallas_call(
+        _bf_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.float32)],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(img.astype(jnp.float32), lam0)
+
+
+def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref):
+    del lbl_in_ref  # aliased with lbl_ref
+    """Min-index diffusion over a mask: connected components by propagation, all in
+    VMEM (pointer jumping needs big gathers, which run at ~300 MB/s on this TPU —
+    plateau diameters here are cell-sized, so diffusion sweeps win)."""
+    H, W = mask_ref.shape
+    n_blocks = H // _BLOCK
+    INF = jnp.int32(H * W)
+
+    def sweep(carry):
+        _, it = carry
+        for b in range(n_blocks):
+            halo_ref[2 * b, :] = lbl_ref[b * _BLOCK, :]
+            halo_ref[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
+        changed = jnp.bool_(False)
+        for b in range(n_blocks):
+            r0 = b * _BLOCK
+            lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
+            mask = mask_ref[pl.ds(r0, _BLOCK), :] > 0
+            up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), INF)
+            dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), INF)
+            cand = jnp.minimum(
+                jnp.minimum(_shift_rows(lbl, True, up_edge),
+                            _shift_rows(lbl, False, dn_edge)),
+                jnp.minimum(_shift_cols(lbl, True, INF),
+                            _shift_cols(lbl, False, INF)))
+            new = jnp.where(mask, jnp.minimum(lbl, cand), INF)
+            changed = changed | jnp.any(new < lbl)
+            lbl_ref[pl.ds(r0, _BLOCK), :] = new
+        return changed, it + 1
+
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep,
+                       (jnp.bool_(True), jnp.int32(0)))
+
+
+@jax.jit
+def cc_diffusion_pallas(mask: jnp.ndarray) -> jnp.ndarray:
+    """4-connected component roots (min flat index per component; -1 outside mask)."""
+    H, W = mask.shape
+    n = H * W
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+    lbl0 = jnp.where(mask, idx, jnp.int32(n))
+    lbl = pl.pallas_call(
+        _cc_kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32)],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(mask.astype(jnp.int32), lbl0)
+    return jnp.where(mask, lbl, -1)
+
+
+def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
+                   lam_halo, lbl_halo, t_halo):
+    del lbl_in_ref, t_in_ref  # aliased with the outputs
+    """Ascending settle (Meyer pop order) with conflict->line, all state in VMEM.
+
+    lbl encoding: 0 = unsettled, k>0 = settled label k, -1 = settled line,
+    -2 = settled void.
+    """
+    H, W = lam_ref.shape
+    n_blocks = H // _BLOCK
+    inf = jnp.float32(jnp.inf)
+    big_t = jnp.int32(1 << 29)
+
+    # lam is constant during the settle: snapshot its halo rows once
+    for b in range(n_blocks):
+        lam_halo[2 * b, :] = lam_ref[b * _BLOCK, :]
+        lam_halo[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
+
+    def sweep(carry):
+        _, it = carry
+        for b in range(n_blocks):
+            lbl_halo[2 * b, :] = lbl_ref[b * _BLOCK, :]
+            lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
+            t_halo[2 * b, :] = t_ref[b * _BLOCK, :]
+            t_halo[2 * b + 1, :] = t_ref[(b + 1) * _BLOCK - 1, :]
+        changed = jnp.bool_(False)
+        for b in range(n_blocks):
+            r0 = b * _BLOCK
+            lam = lam_ref[pl.ds(r0, _BLOCK), :]
+            lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
+            t = t_ref[pl.ds(r0, _BLOCK), :]
+            settled = lbl != 0
+
+            if b > 0:
+                up = (lam_halo[2 * b - 1, :], lbl_halo[2 * b - 1, :],
+                      t_halo[2 * b - 1, :])
+            else:
+                up = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
+                      jnp.full((W,), big_t))
+            if b < n_blocks - 1:
+                dn = (lam_halo[2 * b + 2, :], lbl_halo[2 * b + 2, :],
+                      t_halo[2 * b + 2, :])
+            else:
+                dn = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
+                      jnp.full((W,), big_t))
+
+            nbrs = [
+                (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
+                 _shift_rows(t, True, up[2])),
+                (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
+                 _shift_rows(t, False, dn[2])),
+                (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
+                 _shift_cols(t, True, big_t)),
+                (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
+                 _shift_cols(t, False, big_t)),
+            ]
+            ready = jnp.ones_like(settled)
+            all_eq = jnp.ones_like(settled)
+            best_v = jnp.full((_BLOCK, W), inf, jnp.float32)
+            best_t = jnp.full((_BLOCK, W), big_t, jnp.int32)
+            best_l = jnp.zeros((_BLOCK, W), jnp.int32)
+            minl = jnp.full((_BLOCK, W), jnp.int32((1 << 30)), jnp.int32)
+            maxl = jnp.zeros((_BLOCK, W), jnp.int32)
+            for qv, ql, qt in nbrs:
+                qsettled = ql != 0
+                ready = ready & ((~(qv < lam)) | qsettled)
+                all_eq = all_eq & ((~(qv <= lam)) | qsettled)
+                donor = (ql > 0) & (qv <= lam)
+                minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
+                maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
+                better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
+                best_v = jnp.where(better, qv, best_v)
+                best_t = jnp.where(better, qt, best_t)
+                best_l = jnp.where(better, ql, best_l)
+            has_donor = maxl > 0
+            conflict = has_donor & (minl != maxl)
+            unsettled = ~settled
+            settle_lbl = unsettled & ready & has_donor & (~conflict)
+            settle_line = unsettled & ready & conflict
+            settle_void = unsettled & ready & (~has_donor) & all_eq
+            can = settle_lbl | settle_line | settle_void
+            new_lbl = jnp.where(
+                settle_lbl, best_l,
+                jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
+            lbl_ref[pl.ds(r0, _BLOCK), :] = new_lbl
+            t_ref[pl.ds(r0, _BLOCK), :] = jnp.where(can, it, t)
+            changed = changed | jnp.any(can)
+        return changed, it + 1
+
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep,
+                       (jnp.bool_(True), jnp.int32(1)))
+
+
+@jax.jit
+def settle_pallas(lam: jnp.ndarray, seeds: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase-2 settle. Returns (lbl, t): lbl>0 labels, -1 line, -2 void, 0 unreached;
+    t = arrival sweep (for the post-pass line tie-breaks)."""
+    H, W = lam.shape
+    big_t = jnp.int32(1 << 29)
+    lbl0 = seeds.astype(jnp.int32)
+    t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
+    lbl, t = pl.pallas_call(
+        _settle_kernel,
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
+                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * (H // _BLOCK), W), jnp.float32),
+            pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32),
+            pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(lam.astype(jnp.float32), lbl0, t0)
+    return lbl, t
