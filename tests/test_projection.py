@@ -157,3 +157,15 @@ def test_cli_smoke(tmp_path):
     img, axes, shape, _ = read_tiff(out)
     assert axes == "TCYX" and shape[0] == 2
     assert os.path.exists(os.path.join(tmp_path, "zmap_position1.npy"))
+
+
+def test_projection_fast_decimated_path_close_to_exact():
+    # at >=512^2 the fast score blur decimates 4x; z-map may differ by <=1 plane
+    stack, _ = synthetic_stack(C=1, Z=8, Y=512, X=512, seed=3)
+    fast_proj, fast_z = time_point_surface_projection(
+        jnp.asarray(stack), reference_channel=0, airyscan=False)
+    want_proj, want_z = reference_projection_oracle(stack)
+    dz = np.abs(np.asarray(fast_z) - want_z)
+    assert np.mean(dz <= 1) > 0.995, (dz.max(), np.mean(dz <= 1))
+    rel = np.abs(np.asarray(fast_proj) - want_proj) / (np.abs(want_proj) + 1.0)
+    assert np.median(rel) < 0.02

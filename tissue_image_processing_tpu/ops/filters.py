@@ -71,29 +71,28 @@ def _correlate1d_nearest(x: jnp.ndarray, kernel: jnp.ndarray, axis: int,
     if ksize == 1:
         return x
     r = (ksize - 1) // 2
-    x = jnp.moveaxis(x, axis, -1)
-    shape = x.shape
-    L = shape[-1]
+    L = x.shape[axis]
     if ksize >= _MATMUL_TAP_THRESHOLD and L > 1 and L <= 8192:
         B = _band_matrix_nearest(kernel.astype(jnp.float32), L)
-        flat = x.reshape(-1, L)
-        out = jnp.dot(flat, B.T, preferred_element_type=jnp.float32,
+        xm = jnp.moveaxis(x, axis, -1)
+        shape = xm.shape
+        out = jnp.dot(xm.reshape(-1, L), B.T, preferred_element_type=jnp.float32,
                       precision=precision)
-        out = out.reshape(shape)
-        return jnp.moveaxis(out, -1, axis)
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r, r)], mode="edge")
-    flat = xp.reshape(-1, 1, xp.shape[-1])
-    k = kernel.reshape(1, 1, ksize).astype(flat.dtype)
-    out = jax.lax.conv_general_dilated(
-        flat,
-        k,
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out = out.reshape(shape)
-    return jnp.moveaxis(out, -1, axis)
+        return jnp.moveaxis(out.reshape(shape), -1, axis)
+    # small kernels: shift-and-add over an edge-padded array, sliced along the
+    # native axis (no transposes). XLA fuses the ksize offset reads + FMAs into one
+    # elementwise pass; a 1-channel conv_general_dilated lowers to a VPU sliding
+    # window at ~2% of HBM roofline (~50 ms per sigma~1 pass over 30x1024^2 vs a
+    # few ms for this form).
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (r, r)
+    xp = jnp.pad(x, pads, mode="edge")
+    kern = kernel.astype(jnp.float32)
+    out = None
+    for t in range(ksize):
+        term = kern[t] * jax.lax.slice_in_dim(xp, t, t + L, axis=axis)
+        out = term if out is None else out + term
+    return out
 
 
 def _box_sizes_for_gaussian(sigma: float, n: int = 4):
@@ -116,11 +115,14 @@ def _box_blur_axis(x: jnp.ndarray, width: int, axis: int) -> jnp.ndarray:
     if width <= 1:
         return x
     r = width // 2
-    x = jnp.moveaxis(x, axis, -1)
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(r + 1, r)], mode="edge")
-    cs = jnp.cumsum(xp, axis=-1)
-    out = (cs[..., width:] - cs[..., :-width]) / width
-    return jnp.moveaxis(out, -1, axis)
+    L = x.shape[axis]
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (r + 1, r)
+    xp = jnp.pad(x, pads, mode="edge")
+    cs = jnp.cumsum(xp, axis=axis)
+    hi = jax.lax.slice_in_dim(cs, width, width + L, axis=axis)
+    lo = jax.lax.slice_in_dim(cs, 0, L, axis=axis)
+    return (hi - lo) / width
 
 
 @functools.partial(jax.jit, static_argnames=("std", "truncate", "fast"))
@@ -146,7 +148,7 @@ def gaussian_blur(
         raise ValueError(f"std {std} does not match image ndim {image.ndim}")
     out = image.astype(jnp.float32)
     for axis, sigma in enumerate(std):
-        if fast and sigma >= 8.0:
+        if fast and sigma >= 6.0:
             for width in _box_sizes_for_gaussian(sigma):
                 out = _box_blur_axis(out, width, axis)
             continue

@@ -77,62 +77,44 @@ def regionprops(
     bbox_min_row, bbox_min_col, bbox_max_row, bbox_max_col (max-exclusive like
     skimage), exists (bool), and mean_intensity if requested.
 
-    Implementation: one stable sort groups pixels by label in raster order; sums come
-    from cumulative-sum differences at segment boundaries, row extrema from the first
-    and last pixel of each run, column extrema from a second (label, col)-keyed sort —
-    all gathers and scans, no TPU scatters (an equivalent segment_sum build spent
-    ~10 ms per scattered property at 1024^2).
+    Implementation: three scatters — one int32 payload scatter-add for
+    (count, sum_y, sum_x) (exact: coordinate sums stay under 2^31), one f32 payload
+    scatter-add for (perimeter, intensity), and int32 scatter-min/max payloads for
+    the bbox. Scatter cost on TPU is dominated by per-scatter index handling
+    (~20 ms per scatter at 1M, nearly independent of payload width), so packing
+    properties into payloads beats both per-property scatters and the sort-based
+    build (two 1M argsorts alone cost ~80 ms).
     """
     H, W = labels.shape
     n = H * W
     lab = labels.astype(jnp.int32).ravel()
     ns = num_labels + 1
-    order = jnp.argsort(lab, stable=True)
-    slab = lab[order]
-    seg_ids = jnp.arange(ns, dtype=jnp.int32)
-    starts = jnp.searchsorted(slab, seg_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(slab, seg_ids, side="right").astype(jnp.int32)
-    counts = ends - starts
-    area = counts.astype(jnp.float32)
 
     ys_i = (jnp.arange(n, dtype=jnp.int32) // W)
     xs_i = (jnp.arange(n, dtype=jnp.int32) % W)
+    ones_i = jnp.ones((n,), jnp.int32)
 
-    # start-of-run flags for segmented scans (a plain cumsum difference would
-    # subtract two ~1e9 prefixes in f32 and lose ~0.03 px of centroid at 1024^2)
-    run_start = jnp.concatenate([jnp.ones((1,), bool), slab[1:] != slab[:-1]])
-
-    def seg_sum(values):
-        sv = values[order].astype(jnp.float32)
-
-        def op(a, b):
-            a_flag, a_val = a
-            b_flag, b_val = b
-            return a_flag | b_flag, b_val + jnp.where(b_flag, 0.0, a_val)
-
-        _, run_sums = jax.lax.associative_scan(op, (run_start, sv))
-        last = jnp.clip(ends - 1, 0, n - 1)
-        return jnp.where(counts > 0, run_sums[last], 0.0)
-
-    sy = seg_sum(ys_i)
-    sx = seg_sum(xs_i)
+    isums = jnp.zeros((ns, 3), jnp.int32).at[lab].add(
+        jnp.stack([ones_i, ys_i, xs_i], axis=1), mode="drop")
+    counts = isums[:, 0]
+    area = counts.astype(jnp.float32)
     safe_area = jnp.maximum(area, 1.0)
-    cy = sy / safe_area
-    cx = sx / safe_area
-    # stable sort keeps raster order inside each label run: first/last pixel give
-    # the row extrema
-    sorted_ys = ys_i[order]
-    last = jnp.clip(ends - 1, 0, n - 1)
-    first = jnp.clip(starts, 0, n - 1)
-    bbox_min_row = sorted_ys[first]
-    bbox_max_row = sorted_ys[last] + 1
-    # column extrema via a (label, col) lexicographic sort
-    key = lab * W + xs_i
-    order2 = jnp.argsort(key)
-    sorted_xs = xs_i[order2]
-    bbox_min_col = sorted_xs[first]
-    bbox_max_col = sorted_xs[last] + 1
-    perim = seg_sum(perimeter_map(labels).ravel())
+    cy = isums[:, 1].astype(jnp.float32) / safe_area
+    cx = isums[:, 2].astype(jnp.float32) / safe_area
+
+    fvals = [perimeter_map(labels).ravel()]
+    if intensity is not None:
+        fvals.append(intensity.ravel().astype(jnp.float32))
+    fsums = jnp.zeros((ns, len(fvals)), jnp.float32).at[lab].add(
+        jnp.stack(fvals, axis=1), mode="drop")
+    perim = fsums[:, 0]
+
+    coord = jnp.stack([ys_i, xs_i], axis=1)
+    imax = jnp.iinfo(jnp.int32).max
+    mins = jnp.full((ns, 2), imax, jnp.int32).at[lab].min(coord, mode="drop")
+    maxs = jnp.full((ns, 2), -1, jnp.int32).at[lab].max(coord, mode="drop")
+    bbox_min_row, bbox_min_col = mins[:, 0], mins[:, 1]
+    bbox_max_row, bbox_max_col = maxs[:, 0] + 1, maxs[:, 1] + 1
     exists = counts > 0
     bbox_min_row = jnp.where(exists, bbox_min_row, 0)
     bbox_min_col = jnp.where(exists, bbox_min_col, 0)
@@ -150,5 +132,5 @@ def regionprops(
         "exists": exists,
     }
     if intensity is not None:
-        out["mean_intensity"] = seg_sum(intensity.ravel()) / safe_area
+        out["mean_intensity"] = fsums[:, 1] / safe_area
     return out

@@ -88,6 +88,22 @@ def build_continuous_manifold(score: jnp.ndarray) -> jnp.ndarray:
     return z
 
 
+def _score_blur(vol: jnp.ndarray, precise: bool) -> jnp.ndarray:
+    """The sigma (0.5, 30, 30) scoring blur (surface_projection.py:41).
+
+    Fast mode decimates 4x before blurring (sigma 30 passes nothing above ~1/60
+    cycles/px, so a 4x mean-pool is lossless to well under the fast-mode tolerance)
+    and returns the SMALL volume — the caller's existing resize-to-full handles
+    upsampling. At 1024^2 this turns a 67 ms box cascade into a ~5 ms one."""
+    if precise:
+        return gaussian_blur(vol, (0.5, 30.0, 30.0))
+    Z, Y, X = vol.shape
+    if Y >= 512 and X >= 512 and Y % 4 == 0 and X % 4 == 0:
+        small = block_reduce(vol, (1, 4, 4), "mean")
+        return gaussian_blur(small, (0.5, 7.5, 7.5), fast=True)
+    return gaussian_blur(vol, (0.5, 30.0, 30.0), fast=True)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "reference_channel", "min_z", "max_z", "method", "bin_size", "airyscan",
     "atoh_shift", "build_manifold", "airyscan_offset", "precise"))
@@ -151,7 +167,7 @@ def time_point_surface_projection(
         else:
             raise ValueError(f"No such method {method}")
     else:
-        score = gaussian_blur(proj_ch, (0.5, 30.0, 30.0), fast=not precise)
+        score = _score_blur(proj_ch, precise)
 
     if build_manifold:
         chosen_small = build_continuous_manifold(score)
