@@ -111,3 +111,32 @@ def test_gaussian_blur_matmul_path_3d(rng):
     got = np.asarray(gaussian_blur(x, (0.5, 30.0, 30.0)))
     want = ndi.gaussian_filter(x.astype(np.float64), (0.5, 30.0, 30.0), mode="nearest")
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_blur3d_pallas_matches_xla_path():
+    import jax.numpy as jnp
+    import tissue_image_processing_tpu.ops.blur_pallas as BP
+    import tissue_image_processing_tpu.ops.filters as F
+    orig_call = BP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    rng = np.random.default_rng(2)
+    vol = rng.random((6, 128, 256)).astype(np.float32) * 100
+    img2d = rng.random((128, 256)).astype(np.float32)
+    want3 = np.asarray(F.gaussian_blur(jnp.asarray(vol), (0.5, 1.0, 1.0)))
+    want2 = np.asarray(F.gaussian_blur(jnp.asarray(img2d), (2.0, 2.0)))
+    BP.pl.pallas_call = interp_call
+    BP._blur3d_fn.cache_clear()
+    F.FORCE_PALLAS_BLUR = True
+    try:
+        got3 = np.asarray(F.gaussian_blur.__wrapped__(jnp.asarray(vol), (0.5, 1.0, 1.0)))
+        got2 = np.asarray(F.gaussian_blur.__wrapped__(jnp.asarray(img2d), (2.0, 2.0)))
+    finally:
+        F.FORCE_PALLAS_BLUR = None
+        BP.pl.pallas_call = orig_call
+        BP._blur3d_fn.cache_clear()
+    np.testing.assert_allclose(got3, want3, rtol=2e-6, atol=1e-4)
+    np.testing.assert_allclose(got2, want2, rtol=2e-6, atol=1e-4)

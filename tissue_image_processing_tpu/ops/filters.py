@@ -125,6 +125,52 @@ def _box_blur_axis(x: jnp.ndarray, width: int, axis: int) -> jnp.ndarray:
     return (hi - lo) / width
 
 
+FORCE_PALLAS_BLUR = None  # tests may force True/False; None = auto (TPU + fits)
+
+
+def _maybe_blur3d_pallas(image, std, truncate, fast):
+    """Route small-kernel 2-D/3-D blurs through the fused Pallas kernel on TPU.
+
+    One HBM read + one write instead of one volume materialization per tap pass
+    (~6x at 30x1024^2). Returns None when unsupported (large taps go to the box
+    cascade / banded matmul; non-TPU backends use the XLA shift-add path).
+    """
+    if image.ndim not in (2, 3):
+        return None
+    std3 = (0.0,) * (3 - image.ndim) + std
+    if fast and any(s >= 6.0 for s in std3):
+        return None  # large sigmas: box cascade is the right tool
+    if FORCE_PALLAS_BLUR is None:
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except Exception:
+            return None
+    elif not FORCE_PALLAS_BLUR:
+        return None
+    from tissue_image_processing_tpu.ops.blur_pallas import (
+        blur3d_pallas, blur3d_pallas_supported)
+    # host-side taps (std/truncate are static): under jit the jnp kernel builder
+    # yields tracers, but the pallas kernel needs the weights as Python constants
+    import numpy as _np
+
+    def taps(sigma):
+        radius = int(truncate * float(sigma) + 0.5)
+        if radius <= 0 or sigma <= 0:
+            return (1.0,)
+        xs = _np.arange(-radius, radius + 1, dtype=_np.float32)
+        k = _np.exp(-0.5 * (xs / _np.float32(sigma)) ** 2).astype(_np.float32)
+        return tuple(float(v) for v in (k / k.sum()))
+
+    kernels = [taps(s) for s in std3]
+    shape3 = (1,) * (3 - image.ndim) + image.shape
+    if not blur3d_pallas_supported(shape3, tuple(len(k) for k in kernels)):
+        return None
+    vol = image.reshape(shape3)
+    out = blur3d_pallas(vol, *kernels)
+    return out.reshape(image.shape)
+
+
 @functools.partial(jax.jit, static_argnames=("std", "truncate", "fast"))
 def gaussian_blur(
     image: jnp.ndarray,
@@ -147,6 +193,9 @@ def gaussian_blur(
     if len(std) != image.ndim:
         raise ValueError(f"std {std} does not match image ndim {image.ndim}")
     out = image.astype(jnp.float32)
+    fused = _maybe_blur3d_pallas(out, std, truncate, fast)
+    if fused is not None:
+        return fused
     for axis, sigma in enumerate(std):
         if fast and sigma >= 6.0:
             for width in _box_sizes_for_gaussian(sigma):
