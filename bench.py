@@ -48,12 +48,12 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--zdepth", type=int, default=30)
     p.add_argument("--capacity", type=int, default=2048)
-    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--quick", action="store_true", help="256^2 x 8 smoke run")
     args = p.parse_args(argv)
     if args.quick:
         args.size, args.zdepth, args.frames, args.capacity = 256, 8, 4, 512
-        args.batch = 2
+        args.batch = 1
 
     import jax
     import jax.numpy as jnp
@@ -88,26 +88,27 @@ def main(argv=None):
         table = frame_cellinfo(labels, capacity=cap)
         return proj[0], table.cy, table.cx, table.area, table.valid_mask()
 
-    pipeline_batch = jax.jit(jax.vmap(one_frame))
-
+    # the WHOLE movie pass is one device program: per-program dispatch through
+    # the dev tunnel costs ~100+ ms and does not overlap, so a 6-program chain
+    # (4 batches + concat + track) spent ~1 s idle between kernels
     @jax.jit
-    def track_all(projs, cys, cxs, areas, masks):
+    def full_program(movie):
+        if B == 1:
+            # vmap-of-pallas runs sequentially anyway and the batching layer adds
+            # ~50% per frame; plain lax.map is the fast path
+            projs, cys, cxs, areas, masks = jax.lax.map(one_frame, movie)
+        else:
+            batches = movie.reshape(T // B, B, *movie.shape[1:])
+            projs, cys, cxs, areas, masks = jax.lax.map(
+                jax.vmap(one_frame), batches)
+            flat = lambda x: x.reshape(T, *x.shape[2:])
+            projs, cys, cxs, areas, masks = map(
+                flat, (projs, cys, cxs, areas, masks))
         drifts = compute_drift_chain(projs)
         return track_movie(cys, cxs, areas, masks, drifts=drifts, capacity=2 * cap)
 
     def full_pass():
-        projs, cys, cxs, areas, masks = [], [], [], [], []
-        for t0 in range(0, T, B):
-            out = pipeline_batch(movie_dev[t0:t0 + B])
-            projs.append(out[0])
-            cys.append(out[1])
-            cxs.append(out[2])
-            areas.append(out[3])
-            masks.append(out[4])
-        ids = track_all(jnp.concatenate(projs), jnp.concatenate(cys),
-                        jnp.concatenate(cxs), jnp.concatenate(areas),
-                        jnp.concatenate(masks))
-        return ids
+        return full_program(movie_dev)
 
     print("# compiling pipeline (one batched program)...", file=sys.stderr)
     t_compile = time.time()

@@ -50,12 +50,33 @@ def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
         runs on (M, cand_k) arrays. For tracking, candidates beyond the 8 nearest
         tracks are never optimal matches.
     Returns (M,) object index per person, -1 if unassigned.
+
+    Epsilon schedule: the per-round bid increment starts at 64*eps and decays 5%
+    per round down to ``eps`` (one run, no resets). A constant fine eps makes
+    UNMATCHABLE persons (more local cells than live tracks) bid prices up by their
+    FULL benefit in eps-steps — benefit/eps rounds, which hit the round cap on
+    real tissue frames (~125 ms/frame, truncated assignment). Early large-eps
+    rounds price them out in a few dozen rounds; assignments made early at coarse
+    eps stay evictable, so later fine-eps rounds still refine contested links
+    (mis-assignment bound ~ the eps at the time the link was last contested).
     """
     M, K = benefit.shape
     C = min(cand_k or 8, K)
     b_full = jnp.where(person_mask[:, None] & object_mask[None, :], benefit, _NEG)
-    b, cand = jax.lax.top_k(b_full, C)  # (M, C) benefits + object indices
     person_idx = jnp.arange(M)
+    # top-C by iterated argmax: C passes over the dense matrix. lax.top_k lowers
+    # to an iterative partial sort that cost ~280 ms at 2048x4096 on TPU; eight
+    # argmax+mask passes cost ~10 ms for the same result.
+    bs, idxs = [], []
+    bb = b_full
+    for _ in range(C):
+        j = jnp.argmax(bb, axis=1)
+        v = jnp.take_along_axis(bb, j[:, None], 1)[:, 0]
+        bs.append(v)
+        idxs.append(j.astype(jnp.int32))
+        bb = bb.at[person_idx, j].set(_NEG)
+    b = jnp.stack(bs, axis=1)      # (M, C) best benefits, descending
+    cand = jnp.stack(idxs, axis=1)  # (M, C) object indices
 
     def cond(state):
         _, _, _, again, rounds = state
@@ -63,6 +84,8 @@ def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
 
     def body(state):
         price, owner, person_obj, _, rounds = state
+        cur_eps = jnp.maximum(jnp.float32(eps),
+                              jnp.float32(64.0 * eps) * 0.95 ** rounds)
         active = person_mask & (person_obj < 0)
         vals = b - price[cand]
         v1 = jnp.max(vals, axis=1)
@@ -71,7 +94,7 @@ def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
         v2 = jnp.max(vals2, axis=1)
         bidding = active & (v1 >= 0.0)
         obj = cand[person_idx, j1]
-        incr = v1 - jnp.maximum(v2, 0.0) + eps
+        incr = v1 - jnp.maximum(v2, 0.0) + cur_eps
         bid_price = price[obj] + incr
         # resolve one winner per object: max bid, ties to the lowest person index
         key = jnp.where(bidding, bid_price, _NEG)
@@ -149,7 +172,13 @@ def link_frames(
                             jnp.stack([cy, cx], 1), sa, area_weight)
     sr2 = search_range * search_range
     benefit = jnp.where(cost2 < sr2, sr2 - cost2, _NEG)
-    person_obj = auction_assignment(benefit, mask, alive)
+    # eps scales with the metric (benefits in [0, sr^2]); 96 rounds: contested
+    # deficit pockets churn indefinitely (an excess cell walks prices up by its
+    # full value), and measured assignments at caps 64..512 agree to ~96% with
+    # the disagreements confined to genuinely ambiguous links — the cap trades
+    # nothing measurable for ~4x fewer rounds
+    person_obj = auction_assignment(benefit, mask, alive, eps=1e-3 * sr2,
+                                    max_rounds=96)
 
     matched = person_obj >= 0
     safe_obj = jnp.clip(person_obj, 0, K - 1)
