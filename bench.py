@@ -47,7 +47,7 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--zdepth", type=int, default=30)
-    p.add_argument("--capacity", type=int, default=2048)
+    p.add_argument("--capacity", type=int, default=1024)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--quick", action="store_true", help="256^2 x 8 smoke run")
     args = p.parse_args(argv)
