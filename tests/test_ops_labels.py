@@ -146,3 +146,19 @@ def test_second_order_adjacency():
     want &= ~np.eye(5, dtype=bool)
     want[:, 0] = want[0, :] = False
     np.testing.assert_array_equal(adj2, want)
+
+
+def test_regionprops_overflow_detection():
+    """Labels beyond capacity are dropped to background and reported, never
+    pooled into the top slot (SURVEY §7 ragged-data hard part)."""
+    lab = _toy_labels()  # labels 1..4
+    props = regionprops(jnp.asarray(lab), num_labels=3)
+    assert int(props["overflow"]) == 1
+    # slot 3 holds label 3's own stats, uncorrupted by label 4's pixels
+    m3 = lab == 3
+    assert float(props["area"][3]) == m3.sum()
+    ys, xs = np.nonzero(m3)
+    np.testing.assert_allclose(float(props["cy"][3]), ys.mean(), atol=1e-4)
+    # no overflow at sufficient capacity
+    props8 = regionprops(jnp.asarray(lab), num_labels=8)
+    assert int(props8["overflow"]) == 0

@@ -401,8 +401,8 @@ def _n_neighbors_hist(tissue, frame: int, type_name: str = "HC"):
     mask = tissue.get_valid_non_edge_mask(frame)
     ti = tissue.type_name_to_index(type_name)
     ti = ti if isinstance(ti, (int, tuple)) and not isinstance(ti, bool) else 0
-    sc = mask & ~np.asarray(is_positive_for_type(np.asarray(table.type), 0))
-    nn = np.asarray(F.n_neighbors_from_type(table, 0, True))
+    sc = mask & ~np.asarray(is_positive_for_type(np.asarray(table.type), ti))
+    nn = np.asarray(F.n_neighbors_from_type(table, ti, True))
     return table, sc, nn
 
 

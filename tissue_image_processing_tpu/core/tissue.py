@@ -13,6 +13,7 @@ pickles) plus ``events_data.pkl``, ``drifts.npy``, ``valid_frames.npy``,
 
 from __future__ import annotations
 
+import ast
 import json
 import os
 import pickle
@@ -176,6 +177,13 @@ class Tissue:
         labels = self.get_labels(frame)
         if labels is None:
             return 0
+        overflow = int(labels.max()) - self.capacity
+        if overflow > 0:
+            import warnings
+            warnings.warn(
+                f"frame {frame}: {overflow} labels beyond capacity "
+                f"{self.capacity} are dropped to background; re-create the "
+                f"Tissue with a larger capacity")
         table = frame_cellinfo(jnp.asarray(labels.astype(np.int32)),
                                capacity=self.capacity,
                                max_neighbors=self.max_neighbors,
@@ -188,7 +196,8 @@ class Tissue:
         if type_name in self.type_names:
             return self.type_names.index(type_name)
         if "pos" in type_name or "neg" in type_name:
-            types_list = eval(type_name) if type_name.startswith("(") else (type_name,)
+            types_list = (ast.literal_eval(type_name)
+                          if type_name.startswith("(") else (type_name,))
             pos, neg = [], []
             for x in types_list:
                 if "pos" in x:

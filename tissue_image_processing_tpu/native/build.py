@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -22,11 +23,15 @@ def load_library() -> Optional[ctypes.CDLL]:
         if _TRIED:
             return _LIB
         _TRIED = True
-        so_path = os.path.join(_SRC_DIR, "libtipws.so")
         src = os.path.join(_SRC_DIR, "watershed.cpp")
+        # Content-hash staleness check: the .so is never committed, and mtime
+        # comparison is unreliable after a fresh checkout (equal mtimes would
+        # load a binary compiled with -march=native on another machine).
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so_path = os.path.join(_SRC_DIR, f"libtipws-{digest}.so")
         try:
-            if (not os.path.isfile(so_path)
-                    or os.path.getmtime(so_path) < os.path.getmtime(src)):
+            if not os.path.isfile(so_path):
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
                      "-o", so_path],

@@ -100,7 +100,12 @@ def regionprops(
     """
     H, W = labels.shape
     n = H * W
-    lab2 = jnp.clip(labels.astype(jnp.int32), 0, num_labels)
+    lab_raw = labels.astype(jnp.int32)
+    # Labels beyond the static capacity are masked to background (slot 0), never
+    # pooled into the top slot; `overflow` reports how many labels were dropped so
+    # callers can re-run at a larger capacity (SURVEY §7 "ragged cell data").
+    overflow = jnp.maximum(jnp.max(lab_raw) - num_labels, 0)
+    lab2 = jnp.where(lab_raw > num_labels, 0, jnp.maximum(lab_raw, 0))
     ns = num_labels + 1
     RLO = 64
     nhi = -(-ns // RLO)
@@ -164,6 +169,7 @@ def regionprops(
         "bbox_max_row": bbox_max_row,
         "bbox_max_col": bbox_max_col,
         "exists": exists,
+        "overflow": overflow,
     }
     if intensity is not None:
         out["mean_intensity"] = sums[5] / safe_area

@@ -33,6 +33,12 @@ def make_mesh(n_devices: Optional[int] = None,
     """
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} device(s) are "
+            f"visible on the '{jax.default_backend()}' backend; for a virtual "
+            f"CPU mesh set XLA_FLAGS=--xla_force_host_platform_device_count={n} "
+            f"and JAX_PLATFORMS=cpu before importing jax")
     devices = devices[:n]
     model = 1
     for cand in (4, 2):

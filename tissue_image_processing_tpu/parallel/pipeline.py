@@ -1,0 +1,101 @@
+"""Frame-sharded image pipeline: proj -> seg -> cellinfo -> drift -> track.
+
+The reference is single-device (SURVEY.md §2.9/§5.8); this is the TPU scale-out:
+the heavy per-frame pixel work (surface projection, watershed, regionprops) is
+embarrassingly parallel over the movie's T axis, so it runs under ``shard_map``
+over a 1-D ``("frame",)`` mesh with zero collectives. Only two small cross-frame
+exchanges ride ICI:
+
+- drift needs each shard's *previous* frame: one ``ppermute`` sends each device's
+  last projected frame to its right neighbor (frame halo of 1);
+- tracking is a sequential scan over T on O(capacity) tables: the per-frame
+  tables and drifts are ``all_gather``-ed (tiled) and the scan runs replicated —
+  the tables are ~KBs/frame, 3 orders of magnitude smaller than the pixel data.
+
+The ``frame`` axis can span hosts over DCN without API change.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_frame_mesh", "sharded_movie_pipeline"]
+
+
+def make_frame_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh with a single ``frame`` axis over the first n devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested {n} devices but only {len(devices)} are visible "
+            f"({jax.default_backend()} backend); for a virtual CPU mesh set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} and "
+            f"JAX_PLATFORMS=cpu before importing jax")
+    return Mesh(np.array(devices[:n]), ("frame",))
+
+
+def sharded_movie_pipeline(
+    mesh: Mesh,
+    capacity: int = 256,
+    track_capacity: Optional[int] = None,
+    reference_channel: int = 0,
+    threshold: float = 0.2,
+    std: float = 3.0,
+    block_size: int = 101,
+    airyscan: bool = False,
+    upsample_factor: int = 100,
+):
+    """Build a jitted ``fn(movie) -> (T, capacity) track ids`` with the per-frame
+    work sharded over the mesh's ``frame`` axis.
+
+    ``movie``: (T, C, Z, H, W), T divisible by the mesh size. Mirrors the bench /
+    reference end-to-end path (``surface_projection.py:17-85`` ->
+    ``basic_image_manipulations.py:446-476`` -> ``tissue_info.py:880-909`` ->
+    ``tissue_info.py:1881-1933``).
+    """
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+    from tissue_image_processing_tpu.core.tracking import track_movie
+    from tissue_image_processing_tpu.ops.drift import phase_cross_correlation
+    from tissue_image_processing_tpu.ops.watershed import watershed_segmentation
+    from tissue_image_processing_tpu.projection.surface import (
+        time_point_surface_projection)
+
+    n = mesh.shape["frame"]
+    track_cap = track_capacity or 2 * capacity
+
+    def one_frame(stack):
+        stack = stack.astype(jnp.float32)
+        proj, _ = time_point_surface_projection(
+            stack, reference_channel=reference_channel, airyscan=airyscan)
+        ref = proj[reference_channel]
+        labels = watershed_segmentation(ref, threshold, std, block_size)
+        table = frame_cellinfo(labels, capacity=capacity)
+        return ref, table.cy, table.cx, table.area, table.valid_mask()
+
+    def shard_fn(movie_shard):  # (T/n, C, Z, H, W) on each device
+        ref, cy, cx, area, mask = jax.lax.map(one_frame, movie_shard)
+        # frame halo of 1: previous device's last projection, over ICI
+        prev_last = jax.lax.ppermute(
+            ref[-1], "frame", [(i, (i + 1) % n) for i in range(n)])
+        prev = jnp.concatenate([prev_last[None], ref[:-1]], axis=0)
+        f = functools.partial(phase_cross_correlation,
+                              upsample_factor=upsample_factor)
+        shifts = jax.vmap(f)(prev, ref)  # (T/n, 2)
+        gather = lambda x: jax.lax.all_gather(x, "frame", tiled=True)
+        cy_a, cx_a, area_a, mask_a, drifts = map(
+            gather, (cy, cx, area, mask, shifts))
+        # global frame 0 has no predecessor (its ppermute input wrapped around)
+        drifts = drifts.at[0].set(0.0)
+        return track_movie(cy_a, cx_a, area_a, mask_a, drifts=drifts,
+                           capacity=track_cap)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=P("frame"), out_specs=P(),
+                       check_vma=False)
+    return jax.jit(fn)

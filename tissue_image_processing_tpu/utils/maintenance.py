@@ -193,15 +193,16 @@ def merge_invalid_neighboring_cells(tissue, frame: int, editor=None) -> None:
 
     from tissue_image_processing_tpu.core.editing import SegmentationEditor
 
+    import warnings
+
     editor = editor or SegmentationEditor(tissue)
-    for _ in range(10000):
+    merged_any = False
+    for it in range(10000):
         labels = tissue.get_labels(frame)
         ct = tissue.get_cell_types(frame)
         if ct is None:
             tissue.update_cell_types_by_cells_info(frame)
             ct = tissue.get_cell_types(frame)
-        invalid_zone = ndi_max((ct == 255).astype(int) * 0 + ct, size=3,
-                               mode="constant")
         # candidate border pixels: labels==0 surrounded by invalid-only cells
         cand = (labels == 0) & (ndi_max((ct != 255).astype(int), size=3,
                                         mode="constant") == 0)
@@ -209,6 +210,14 @@ def merge_invalid_neighboring_cells(tissue, frame: int, editor=None) -> None:
         if not len(pts):
             break
         editor.remove_segmentation_line(frame, (int(pts[0, 1]), int(pts[0, 0])))
+        merged_any = True
+    else:
+        warnings.warn("merge_invalid_neighboring_cells: iteration cap hit; "
+                      "some invalid-cell boundaries may remain unmerged")
+    if merged_any:
+        # refresh the painted type map after the merges (reference
+        # update_labels call at tissue_info.py:417)
+        tissue.update_cell_types_by_cells_info(frame)
 
 
 def calculate_average_area_in_movie(tissue) -> float:
