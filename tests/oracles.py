@@ -134,3 +134,85 @@ def reference_contact_matrix(labels):
             out[a, b] = c
             out[b, a] = c
     return out
+
+
+def crocker_grier_link(frames, search_range=100.0, memory=3, area_weight=0.5,
+                       max_subnet=16):
+    """Exact Crocker-Grier frame-to-frame linker — the algorithm trackpy implements
+    (reference config ``tissue_info.py:1924-1926``: search_range=100, memory=3,
+    custom metric sqrt(dy^2 + dx^2 + 0.5 (sqrt a1 - sqrt a2)^2 at :1935-1938).
+
+    ``frames``: list of (cy, cx, area) float arrays (one per frame; already
+    drift-corrected). Per frame pair: candidate links gated at search_range,
+    connected subnets solved EXACTLY (Hungarian over the subnet with per-track
+    null options costing search_range^2 — minimizing total squared displacement
+    with lost tracks penalized at the cutoff, Crocker & Grier 1996 eq. 6).
+    Unmatched tracks persist for ``memory`` frames at their last position.
+
+    Returns: list of int arrays of track ids (1-based) per frame.
+    """
+    from scipy.optimize import linear_sum_assignment
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as cc
+
+    sr2 = search_range * search_range
+    next_id = 1
+    # live tracks: list of dicts(pos=(y,x), sa=sqrt_area, id, age)
+    live = []
+    out = []
+    for (cy, cx, area) in frames:
+        cy = np.asarray(cy, float)
+        cx = np.asarray(cx, float)
+        sa = np.sqrt(np.maximum(np.asarray(area, float), 0.0))
+        m = len(cy)
+        ids = np.zeros(m, np.int64)
+        k = len(live)
+        if k and m:
+            ty = np.array([t["pos"][0] for t in live])
+            tx = np.array([t["pos"][1] for t in live])
+            tsa = np.array([t["sa"] for t in live])
+            d2 = ((cy[:, None] - ty[None, :]) ** 2
+                  + (cx[:, None] - tx[None, :]) ** 2
+                  + area_weight * (sa[:, None] - tsa[None, :]) ** 2)
+            cand = d2 < sr2
+        else:
+            cand = np.zeros((m, k), bool)
+        # subnets: connected components of the bipartite candidate graph
+        ci, ti = np.nonzero(cand)
+        n_nodes = m + k
+        g = coo_matrix((np.ones(len(ci)), (ci, m + ti)), shape=(n_nodes, n_nodes))
+        ncomp, comp = cc(g, directed=False)
+        taken = np.zeros(k, bool)
+        for c in range(ncomp):
+            cells = np.nonzero(comp[:m] == c)[0]
+            tracks = np.nonzero(comp[m:] == c)[0]
+            if len(cells) == 0 or len(tracks) == 0:
+                continue
+            # exact assignment: cells x (tracks + per-cell null), null costs sr2
+            nc, nt = len(cells), len(tracks)
+            cost = np.full((nc, nt + nc), sr2, float)
+            sub = d2[np.ix_(cells, tracks)]
+            sub_ok = cand[np.ix_(cells, tracks)]
+            cost[:nc, :nt] = np.where(sub_ok, sub, 1e18)
+            rows, cols = linear_sum_assignment(cost)
+            for r, cc_ in zip(rows, cols):
+                if cc_ < nt and cost[r, cc_] < 1e17:
+                    tr = tracks[cc_]
+                    ids[cells[r]] = live[tr]["id"]
+                    taken[tr] = True
+        # fresh ids in order
+        for i in range(m):
+            if ids[i] == 0:
+                ids[i] = next_id
+                next_id += 1
+        # rebuild live set
+        new_live = [dict(pos=(cy[i], cx[i]), sa=sa[i], id=int(ids[i]), age=0)
+                    for i in range(m)]
+        for j, t in enumerate(live):
+            if not taken[j] and t["age"] + 1 <= memory:
+                t2 = dict(t)
+                t2["age"] = t["age"] + 1
+                new_live.append(t2)
+        live = new_live
+        out.append(ids)
+    return out

@@ -186,3 +186,89 @@ def test_track_movie_nearest_pixel():
     ids = track_movie_nearest_pixel(labels, cy, cx, mask)
     assert (ids[0, :36] == ids[1, :36]).all() and (ids[1, :36] == ids[2, :36]).all()
     assert len(set(ids[0, :36].tolist())) == 36
+
+
+def _lineage_links(ids_list):
+    """Set of (t_prev, i_prev, t_cur, i_cur) links implied by shared track ids
+    (parent = most recent earlier appearance of the same id)."""
+    last_seen = {}
+    links = set()
+    news = set()
+    for t, ids in enumerate(ids_list):
+        for i, v in enumerate(ids):
+            v = int(v)
+            if v == 0:
+                continue
+            if v in last_seen:
+                links.add((*last_seen[v], t, i))
+            else:
+                news.add((t, i))
+            last_seen[v] = (t, i)
+    return links, news
+
+
+def test_track_movie_crocker_grier_parity(rng):
+    """Whole-movie lineage parity vs the exact Crocker-Grier oracle (trackpy's
+    algorithm, reference tissue_info.py:1881-1938): >= 99% of links identical on a
+    100-frame drifting movie with exits, divisions and memory gaps."""
+    from oracles import crocker_grier_link
+
+    T, N = 100, 64
+    n0 = 40
+    pos = np.zeros((N, 2))
+    pos[:n0] = rng.uniform(50, 950, (n0, 2))
+    area = np.zeros(N)
+    area[:n0] = rng.uniform(900, 1600, n0)
+    alive = np.zeros(N, bool)
+    alive[:n0] = True
+    gone_until = np.full(N, -1)
+
+    cys, cxs, areas, masks = [], [], [], []
+    for t in range(T):
+        drift = np.array([1.2, -0.8])
+        pos[alive] += drift + rng.normal(0, 1.5, (alive.sum(), 2))
+        # events
+        if t % 7 == 3:  # a division: spawn a new cell near a random live one
+            free = np.nonzero(~alive & (gone_until < t))[0]
+            src = rng.choice(np.nonzero(alive)[0])
+            if len(free):
+                j = free[0]
+                alive[j] = True
+                pos[j] = pos[src] + rng.normal(0, 8, 2)
+                area[j] = area[src] * 0.6
+        if t % 11 == 5:  # an exit
+            j = rng.choice(np.nonzero(alive)[0])
+            alive[j] = False
+            gone_until[j] = T + 1
+        vis = alive.copy()
+        if t % 5 == 2:  # one cell missed this frame (memory gap)
+            j = rng.choice(np.nonzero(alive)[0])
+            vis[j] = False
+        cys.append(pos[:, 0].copy())
+        cxs.append(pos[:, 1].copy())
+        areas.append(area.copy())
+        masks.append(vis.copy())
+
+    cy = np.stack(cys).astype(np.float32)
+    cx = np.stack(cxs).astype(np.float32)
+    ar = np.stack(areas).astype(np.float32)
+    mk = np.stack(masks)
+
+    ids_dev = np.asarray(track_movie(jnp.asarray(cy), jnp.asarray(cx),
+                                     jnp.asarray(ar), jnp.asarray(mk),
+                                     capacity=2 * N))
+    oracle_frames = [(cy[t][mk[t]], cx[t][mk[t]], ar[t][mk[t]]) for t in range(T)]
+    ids_orc = []
+    for t in range(T):
+        full = np.zeros(N, np.int64)
+        ids_orc.append(full)
+    for t, ids in enumerate(crocker_grier_link(oracle_frames)):
+        ids_orc[t][mk[t]] = ids
+
+    dev_rows = [ids_dev[t] for t in range(T)]
+    links_dev, news_dev = _lineage_links(dev_rows)
+    links_orc, news_orc = _lineage_links(ids_orc)
+    inter = len(links_dev & links_orc)
+    parity = inter / max(len(links_orc), 1)
+    assert parity >= 0.99, f"lineage parity {parity:.4f} ({inter}/{len(links_orc)})"
+    assert news_dev == news_orc

@@ -51,14 +51,22 @@ def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
         tracks are never optimal matches.
     Returns (M,) object index per person, -1 if unassigned.
 
-    Epsilon schedule: the per-round bid increment starts at 64*eps and decays 5%
-    per round down to ``eps`` (one run, no resets). A constant fine eps makes
-    UNMATCHABLE persons (more local cells than live tracks) bid prices up by their
-    FULL benefit in eps-steps — benefit/eps rounds, which hit the round cap on
-    real tissue frames (~125 ms/frame, truncated assignment). Early large-eps
-    rounds price them out in a few dozen rounds; assignments made early at coarse
-    eps stay evictable, so later fine-eps rounds still refine contested links
-    (mis-assignment bound ~ the eps at the time the link was last contested).
+    Epsilon schedule: constant fine eps with a PER-PERSON war escalator. Two
+    rejected designs, for the record: (a) a continuously decaying eps without
+    assignment resets mis-links pairs whose benefit gap is below the coarse eps —
+    assignments made early are never re-contested (observed as ~0.2% lineage
+    divergence vs the exact Crocker-Grier oracle); (b) Bertsekas eps-scaling
+    phases with price carry-over are INVALID for this asymmetric problem (null
+    links allowed, K != M): transiently inflated prices on objects that end up
+    unmatched are never lowered by a forward-only auction, which blocks their
+    rightful match in later phases (measured 15-45% above optimal cost).
+    Instead every person starts at the fine ``eps``, and each time it is EVICTED
+    its personal eps grows 2x (capped at 1024*eps). Persons in degenerate price
+    wars — excess cells whose every candidate is contested, where each round
+    advances prices by only eps — escalate exponentially and get priced out in
+    O(log(benefit/eps)) evictions, while persons that win without long wars keep
+    near-exact eps-CS. Mis-assignment is bounded by each winner's FINAL personal
+    eps, so only genuinely ambiguous many-way contests lose precision.
     """
     M, K = benefit.shape
     C = min(cand_k or 8, K)
@@ -79,13 +87,13 @@ def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
     cand = jnp.stack(idxs, axis=1)  # (M, C) object indices
 
     def cond(state):
-        _, _, _, again, rounds = state
+        _, _, _, again, rounds, _ = state
         return again & (rounds < max_rounds)
 
     def body(state):
-        price, owner, person_obj, _, rounds = state
-        cur_eps = jnp.maximum(jnp.float32(eps),
-                              jnp.float32(64.0 * eps) * 0.95 ** rounds)
+        price, owner, person_obj, _, rounds, evictions = state
+        cur_eps = jnp.float32(eps) * jnp.exp2(
+            jnp.minimum(evictions, 10).astype(jnp.float32))
         active = person_mask & (person_obj < 0)
         vals = b - price[cand]
         v1 = jnp.max(vals, axis=1)
@@ -110,19 +118,21 @@ def auction_assignment(benefit: jnp.ndarray, person_mask: jnp.ndarray,
                                         num_segments=K + 1)[:K] > 0
         evicted = (owner >= 0) & newly_won
         person_obj = person_obj.at[jnp.where(evicted, owner, M)].set(-1, mode="drop")
+        evictions = evictions.at[jnp.where(evicted, owner, M)].add(1, mode="drop")
         # assign winners
         person_obj = jnp.where(winner, obj, person_obj)
         owner = owner.at[jnp.where(winner, obj, K)].set(
             jnp.where(winner, person_idx, 0), mode="drop")
         price = jnp.where(newly_won, obj_best, price)
         again = jnp.any(bidding)
-        return price, owner, person_obj, again, rounds + 1
+        return price, owner, person_obj, again, rounds + 1, evictions
 
     price0 = jnp.zeros((K,), jnp.float32)
     owner0 = jnp.full((K,), -1, jnp.int32)
     pobj0 = jnp.full((M,), -1, jnp.int32)
-    _, _, person_obj, _, _ = jax.lax.while_loop(
-        cond, body, (price0, owner0, pobj0, jnp.bool_(True), jnp.int32(0)))
+    ev0 = jnp.zeros((M,), jnp.int32)
+    _, _, person_obj, _, _, _ = jax.lax.while_loop(
+        cond, body, (price0, owner0, pobj0, jnp.bool_(True), jnp.int32(0), ev0))
     return person_obj
 
 
@@ -172,13 +182,12 @@ def link_frames(
                             jnp.stack([cy, cx], 1), sa, area_weight)
     sr2 = search_range * search_range
     benefit = jnp.where(cost2 < sr2, sr2 - cost2, _NEG)
-    # eps scales with the metric (benefits in [0, sr^2]); 96 rounds: contested
-    # deficit pockets churn indefinitely (an excess cell walks prices up by its
-    # full value), and measured assignments at caps 64..512 agree to ~96% with
-    # the disagreements confined to genuinely ambiguous links — the cap trades
-    # nothing measurable for ~4x fewer rounds
-    person_obj = auction_assignment(benefit, mask, alive, eps=1e-3 * sr2,
-                                    max_rounds=96)
+    # eps-scaled phases (see auction_assignment): final eps 1e-5*sr^2 resolves
+    # benefit gaps down to ~0.1 px^2 at the reference's search_range=100 — below
+    # any physically meaningful link ambiguity — while the coarse first phase
+    # prices unmatchable persons out in a few dozen rounds
+    person_obj = auction_assignment(benefit, mask, alive, eps=1e-5 * sr2,
+                                    max_rounds=256)
 
     matched = person_obj >= 0
     safe_obj = jnp.clip(person_obj, 0, K - 1)
