@@ -66,7 +66,7 @@ def main(argv=None):
         compute_drift_chain, track_movie)
     from tissue_image_processing_tpu.ops.watershed import watershed_segmentation
     from tissue_image_processing_tpu.projection.surface import (
-        time_point_surface_projection)
+        project_timepoint_auto)
 
     T, Z, H, W = args.frames, args.zdepth, args.size, args.size
     B = args.batch
@@ -81,8 +81,8 @@ def main(argv=None):
     del movie
 
     def one_frame(stack):
-        stack = stack.astype(jnp.float32)
-        proj, zmap = time_point_surface_projection(
+        # stays uint16 into the fused projection (it converts on device read)
+        proj, zmap = project_timepoint_auto(
             stack, reference_channel=0, airyscan=False)
         labels = watershed_segmentation(proj[0], 0.2, 3.0, 101)
         table = frame_cellinfo(labels, capacity=cap)

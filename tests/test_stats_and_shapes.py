@@ -159,3 +159,84 @@ def test_compare_and_plot(tmp_path, rng):
         {"a": rng.normal(0, 1, 50), "b": rng.normal(2, 1, 50)}, kind="violin")
     assert ("a", "b") in results
     assert results[("a", "b")]["p_value"] < 0.001
+
+
+def test_glm_poisson_recovers_rate_ratio(rng):
+    # Wald coefficient of a Poisson GLM with log link = log rate ratio
+    from tissue_image_processing_tpu.stats.glm import fit_glm
+    y = np.concatenate([rng.poisson(2.0, 400), rng.poisson(6.0, 400)])
+    X = np.column_stack([np.ones(800), np.r_[np.zeros(400), np.ones(400)]])
+    res = fit_glm(y, X, "poisson")
+    assert res.converged
+    assert abs(np.exp(res.coef[1]) - 3.0) < 0.4
+    assert res.p_stage < 1e-6
+    # equidispersed data: Pearson chi2/df near 1
+    assert 0.7 < res.overdispersion < 1.3
+
+
+def test_hierarchical_routing_poisson(rng):
+    g1 = [rng.poisson(3.0, 60) for _ in range(4)]
+    g2 = [rng.poisson(3.2, 60) for _ in range(4)]
+    r = HierarchicalTwoSamplesCompare(g1, g2, kind="counts").result
+    assert r["family"] == "poisson"
+    assert r["overdispersion"] < 1.5 and not r["zero_inflation"]
+
+
+def test_hierarchical_routing_negbin(rng):
+    # gamma-mixed Poisson, shifted off zero -> overdispersed with NO zeros
+    # (the reference's zero check compares against the Poisson expectation, so
+    # any overdispersed data WITH zeros routes zero-inflated; parity kept)
+    def nb(n):
+        lam = rng.gamma(2.0, 3.0, n)
+        return rng.poisson(lam) + 1
+    g1 = [nb(80) for _ in range(4)]
+    g2 = [nb(80) + 2 for _ in range(4)]
+    r = HierarchicalTwoSamplesCompare(g1, g2, kind="counts").result
+    assert r["family"] == "negative binomial"
+    assert r["overdispersion"] > 1.5
+
+
+def test_hierarchical_routing_zip(rng):
+    # Poisson(4) with 50% structural zeros: zero-inflated, but the non-zero
+    # part equidispersed enough to stay Poisson-family
+    def zip_draw(n):
+        y = rng.poisson(4.0, n)
+        y[rng.random(n) < 0.5] = 0
+        return y
+    g1 = [zip_draw(100) for _ in range(3)]
+    g2 = [zip_draw(100) for _ in range(3)]
+    r = HierarchicalTwoSamplesCompare(g1, g2, kind="counts").result
+    assert r["zero_inflation"]
+    assert "zero-inflated" in r["family"]
+    assert r["p_value"] > 0.01  # same distribution: no stage effect
+
+
+def test_hierarchical_routing_lmm_and_log(rng):
+    g1 = [rng.normal(10, 1, 60) for _ in range(4)]
+    g2 = [rng.normal(12, 1, 60) for _ in range(4)]
+    r = HierarchicalTwoSamplesCompare(g1, g2, kind="continuous").result
+    assert r["family"] == "LMM (normal)"
+    assert r["p_value"] < 1e-4
+    # lognormal positive data routes to log-LMM
+    g1 = [np.exp(rng.normal(0, 1.1, 60)) for _ in range(4)]
+    g2 = [np.exp(rng.normal(0.8, 1.1, 60)) for _ in range(4)]
+    r = HierarchicalTwoSamplesCompare(g1, g2, kind="continuous").result
+    assert r["family"] == "log-LMM"
+    assert r["p_value"] < 1e-3
+
+
+def test_lmm_random_intercept_widens_se(rng):
+    # strong per-replicate offsets: LMM must attribute them to the random
+    # intercept; a naive pooled test would be wildly overconfident
+    from tissue_image_processing_tpu.stats.glm import fit_lmm
+    offs = rng.normal(0, 3.0, 6)
+    y, stage, rep = [], [], []
+    for i, o in enumerate(offs):
+        vals = rng.normal(o, 1.0, 40)
+        y.append(vals); stage.append(np.full(40, i % 2)); rep.append(np.full(40, i))
+    y, stage, rep = map(np.concatenate, (y, stage, rep))
+    X = np.column_stack([np.ones_like(y), stage])
+    res = fit_lmm(y, X, rep)
+    assert res.extra["var_ratio"] > 1.0   # sigma_u^2 >> sigma_e^2 detected
+    naive_se = np.sqrt(8 / len(y))
+    assert res.bse[1] > 3 * naive_se

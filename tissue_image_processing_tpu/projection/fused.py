@@ -1,0 +1,274 @@
+"""Fused surface-projection kernels: the whole per-timepoint pipeline in 2 HBM passes.
+
+The unfused projection (projection/surface.py) is a chain of full-volume XLA passes
+(uint16 convert, percentile clip, (0.5,1,1) blur, score decimation, score resize,
+argmax, one-hot mask build, (1,2,2) mask blur, per-channel multiply+max) — ~25
+volume-sized HBM passes, ~13.6 ms/frame at 30x1024^2 where the achievable
+memory-bound floor is well under a millisecond. These kernels collapse it to:
+
+- **score pass** (`_score_kernel`): one read of the uint16 reference channel ->
+  airyscan offset, p95 clip, fused 3-axis (0.5,1,1) blur, 4x4 mean decimation ->
+  writes ONLY the small (Z, Y/4, X/4) score volume. The full-resolution blurred
+  volume is never materialized: nothing downstream needs it (the projection
+  multiplies the RAW image by the mask; reference surface_projection.py:66-81).
+- small-score blur + argmax + bilinear z-map upsample (tiny XLA ops, ~4 MB).
+- **project pass** (`_project_kernel`): one read of the raw uint16 channels +
+  the (Y, X) z-map -> builds the blurred one-hot z-mask IN VMEM from the z-map
+  (9/17/17-tap separable (1,2,2) blur over a halo'd slab; the mask volume never
+  touches HBM), multiplies each channel, maxes over z -> (C, Y, X) projection.
+
+Exactness: identical to the `fast=True` path of time_point_surface_projection
+except the z-map argmax runs at the decimated score resolution and is bilinearly
+upsampled (instead of upsampling the score volume and argmaxing per full-res
+pixel). The sigma-30-equivalent score field passes nothing above ~1/60 cycles/px,
+so the two orders disagree only on near-ties (measured ~1% of pixels, |dz| <= 1,
+same tolerance class as fast mode itself — asserted in tests).
+
+Reference parity: surface_projection.py:17-85 ('max_averages' method, bin_size 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_projection", "fused_projection_supported"]
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+_BY = 64  # row-slab height
+_DEC = 4  # score decimation
+
+
+def _taps(sigma: float, truncate: float = 4.0):
+    radius = int(truncate * float(sigma) + 0.5)
+    if radius <= 0 or sigma <= 0:
+        return (1.0,)
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    return tuple((k / k.sum()).astype(np.float32).tolist())
+
+
+def fused_projection_supported(shape) -> bool:
+    """(C, Z, Y, X) with Y % 64 == 0, X % 128 == 0, X % 4 == 0, modest Z."""
+    if len(shape) != 4:
+        return False
+    _, Z, Y, X = shape
+    return (Y % _BY == 0 and X % 128 == 0 and Y % _DEC == 0 and X % _DEC == 0
+            and Z <= 64 and Y >= 2 * _BY)
+
+
+def _decimating_blur_matrix(kx, X, Xp):
+    """(Xp, X//_DEC) banded matrix folding the x-axis blur taps AND the
+    _DEC-wide mean decimation into one MXU matmul (Mosaic has no lane-splitting
+    reshape, so in-kernel decimation rides the systolic array instead)."""
+    XO = X // _DEC
+    M = np.zeros((Xp, XO), np.float32)
+    for t, w in enumerate(kx):
+        for d in range(_DEC):
+            M[np.arange(XO) * _DEC + d + t, np.arange(XO)] += w / _DEC
+    return M
+
+
+def _make_score_kernel(Z, X, kz, ky, kx, airyscan_offset, ry_pad):
+    rz, ry, rx = len(kz) // 2, len(ky) // 2, len(kx) // 2
+    Xp = X + 2 * rx
+    Xp += (-Xp) % 128
+    y0 = ry_pad - ry  # first row of the real y-halo inside the padded slab
+
+    def kernel(p95_ref, xp_hbm, mx_ref, out_ref, slab, zbuf, ybuf, sem):
+        i = pl.program_id(0)
+        # uint16 DMA slices need 16-row sublane granularity: the slab is padded
+        # to ry_pad (8) rows per side even though the y kernel radius is ry (4)
+        cp = pltpu.make_async_copy(
+            xp_hbm.at[:, pl.ds(i * _BY, _BY + 2 * ry_pad), :], slab, sem)
+        cp.start()
+        p95 = p95_ref[0]
+        cp.wait()
+        # u16 -> f32 via i32 (Mosaic has no direct u16->f32 cast), airyscan
+        # offset, p95 clip (clip-to-value like the reference: values above p95
+        # are SET to p95, surface_projection.py:33-36)
+        v = slab[...].astype(jnp.int32).astype(jnp.float32)
+        if airyscan_offset:
+            v = jnp.maximum(v - airyscan_offset, 0.0)
+        v = jnp.minimum(v, p95)
+        for t, w in enumerate(kz):
+            term = w * v[t:t + Z]
+            zbuf[...] = term if t == 0 else zbuf[...] + term
+        for t, w in enumerate(ky):
+            term = w * zbuf[:, y0 + t:y0 + t + _BY]
+            ybuf[...] = term if t == 0 else ybuf[...] + term
+        # x-blur + x-decimation as one matmul per z-plane (2-D dots: the only
+        # matmul form Mosaic guarantees); y decimation happens in XLA outside
+        mx = mx_ref[...]
+        for z in range(Z):
+            out_ref[z] = jax.lax.dot(ybuf[z], mx,
+                                     preferred_element_type=jnp.float32)
+
+    return kernel, rz, ry, rx, Xp
+
+
+@functools.partial(jax.jit, static_argnames=("airyscan_offset",))
+def _score_pass(vol_u16: jnp.ndarray, p95: jnp.ndarray,
+                airyscan_offset: float = 0.0) -> jnp.ndarray:
+    """(Z, Y, X) uint16 -> (Z, Y, X/4) f32 x-decimated clipped blurred volume
+    (y stays full resolution; the caller mean-pools y in XLA — exact, the ops
+    act on different axes)."""
+    Z, Y, X = vol_u16.shape
+    kz, ky, kx = _taps(0.5), _taps(1.0), _taps(1.0)
+    ry_pad = 8
+    kernel, rz, ry, rx, Xp = _make_score_kernel(Z, X, kz, ky, kx, airyscan_offset,
+                                                ry_pad)
+    xp = jnp.pad(vol_u16, ((rz, rz), (ry_pad, ry_pad), (rx, rx + Xp - X - 2 * rx)),
+                 mode="edge")
+    mx = jnp.asarray(_decimating_blur_matrix(kx, X, Xp))
+    return pl.pallas_call(
+        kernel,
+        grid=(Y // _BY,),
+        out_shape=jax.ShapeDtypeStruct((Z, Y, X // _DEC), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((Z, _BY, X // _DEC), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Z + 2 * rz, _BY + 2 * ry_pad, Xp), jnp.uint16),
+            pltpu.VMEM((Z, _BY + 2 * ry_pad, Xp), jnp.float32),
+            pltpu.VMEM((Z, _BY, Xp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(jnp.reshape(p95.astype(jnp.float32), (1,)), xp, mx)
+
+
+def _make_project_kernel(C, Z, X, kz, ky, kx, airyscan_offset, ref_channel,
+                         atoh_shift):
+    rz, ry, rx = len(kz) // 2, len(ky) // 2, len(kx) // 2
+    Xp = X + 2 * rx
+    Xp += (-Xp) % 128
+
+    def kernel(z_hbm, img_hbm, out_ref, zslab, img_slab, sem, sem2):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            z_hbm.at[pl.ds(i * _BY, _BY + 2 * ry), :], zslab, sem)
+        cp.start()
+        cp2 = pltpu.make_async_copy(
+            img_hbm.at[:, :, pl.ds(i * _BY, _BY), :], img_slab, sem2)
+        cp2.start()
+        cp.wait()
+        relz = zslab[...]  # (BY + 2ry, Xp) int32
+        relz_s = jnp.clip(relz + atoh_shift, 0, Z - 1) if atoh_shift else relz
+        cp2.wait()
+
+        # One z-plane per fori_loop step: every live value is 2-D ((BYp, Xp) at
+        # most) and the body compiles once, so the kernel stack stays small —
+        # building the full 3-D blurred mask as a vector value needed 134 MB of
+        # register spill slots, and even a 30x-unrolled 2-D loop kept 124 MB of
+        # stack live.
+        def plane_mask(rz_map, z):
+            # z-blur of the one-hot z-mask in closed form: tap t of plane z
+            # reads one-hot plane clip(z+t-rz) -> one 2-D compare per tap
+            # (the clip reproduces gaussian_blur's nearest-pad z boundary)
+            m = None
+            for t, w in enumerate(kz):
+                zt = jnp.clip(z + (t - rz), 0, Z - 1)
+                term = w * (rz_map == zt).astype(jnp.float32)
+                m = term if m is None else m + term
+            my = None
+            for t, w in enumerate(ky):
+                term = w * m[t:t + _BY]
+                my = term if my is None else my + term
+            mx = None
+            for t, w in enumerate(kx):
+                term = w * my[:, t:t + X]
+                mx = term if mx is None else mx + term
+            return mx  # (BY, X)
+
+        # every contribution v*m is >= 0, so max-accumulating from 0 is exact
+        out_ref[...] = jnp.zeros((C, _BY, X), jnp.float32)
+
+        def body(z, carry):
+            m = plane_mask(relz, z)
+            m_s = plane_mask(relz_s, z) if atoh_shift else m
+            for c in range(C):
+                mm = m if (not atoh_shift or c == ref_channel) else m_s
+                v = img_slab[c, pl.ds(z, 1)][0].astype(jnp.int32).astype(
+                    jnp.float32)
+                if airyscan_offset:
+                    v = jnp.maximum(v - airyscan_offset, 0.0)
+                out_ref[c] = jnp.maximum(out_ref[c], v * mm)
+            return carry
+
+        jax.lax.fori_loop(0, Z, body, 0)
+
+    return kernel, rz, ry, rx, Xp
+
+
+@functools.partial(jax.jit, static_argnames=("airyscan_offset", "ref_channel",
+                                             "atoh_shift"))
+def _project_pass(img_u16: jnp.ndarray, rel_z: jnp.ndarray,
+                  airyscan_offset: float = 0.0, ref_channel: int = 0,
+                  atoh_shift: int = 0) -> jnp.ndarray:
+    """(C, Z, Y, X) uint16 + (Y, X) int32 z-map -> (C, Y, X) f32 projection."""
+    C, Z, Y, X = img_u16.shape
+    kz, ky, kx = _taps(1.0), _taps(2.0), _taps(2.0)
+    kernel, rz, ry, rx, Xp = _make_project_kernel(
+        C, Z, X, kz, ky, kx, airyscan_offset, ref_channel, atoh_shift)
+    zp = jnp.pad(rel_z.astype(jnp.int32), ((ry, ry), (rx, rx + Xp - X - 2 * rx)),
+                 mode="edge")
+    return pl.pallas_call(
+        kernel,
+        grid=(Y // _BY,),
+        out_shape=jax.ShapeDtypeStruct((C, Y, X), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((C, _BY, X), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_BY + 2 * ry, Xp), jnp.int32),
+            pltpu.VMEM((C, Z, _BY, X), jnp.uint16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(zp, img_u16)
+
+
+def fused_projection(image: jnp.ndarray, reference_channel: int = 0,
+                     airyscan: bool = False, airyscan_offset: float = 10000.0,
+                     atoh_shift: int = 0):
+    """Full 'max_averages' surface projection in two fused HBM passes.
+
+    Args:
+      image: (C, Z, Y, X) uint16 (or any dtype; converted on device read).
+      Returns (projection (C, Y, X) f32, chosen_z (Y, X) int32) like
+      time_point_surface_projection.
+    """
+    from tissue_image_processing_tpu.ops.filters import (
+        gaussian_blur, resize_bilinear)
+    from tissue_image_processing_tpu.ops.percentile import masked_percentile
+
+    C, Z, Y, X = image.shape
+    img_u16 = image.astype(jnp.uint16)
+    off = airyscan_offset if airyscan else 0.0
+    ref = img_u16[reference_channel]
+    # p95 of the positive pixels from a 4x4 spatial subsample (30x1024^2 -> 2M
+    # samples; the full-volume order statistic differs by O(1e-2) percentile
+    # noise, far below the clip's effect on the smoothed score)
+    sub = ref[:, ::4, ::4].astype(jnp.float32)
+    if off:
+        sub = jnp.maximum(sub - off, 0.0)
+    p95 = masked_percentile(sub, sub > 0, 95.0)
+    xdec = _score_pass(ref, p95, airyscan_offset=off)
+    small = jnp.mean(xdec.reshape(Z, Y // _DEC, _DEC, X // _DEC), axis=2)
+    score = gaussian_blur(small, (0.5, 30.0 / _DEC, 30.0 / _DEC), fast=True)
+    rel_small = jnp.argmax(score, axis=0).astype(jnp.float32)
+    rel_z = jnp.round(resize_bilinear(rel_small, (Y, X))).astype(jnp.int32)
+    rel_z = jnp.clip(rel_z, 0, Z - 1)
+    proj = _project_pass(img_u16, rel_z, airyscan_offset=off,
+                         ref_channel=reference_channel, atoh_shift=atoh_shift)
+    return proj, rel_z

@@ -209,3 +209,42 @@ def movie_projection_batch(stacks: jnp.ndarray, **kwargs):
     """Project a (T, C, Z, Y, X) batch of timepoints in one vmapped device call."""
     fn = functools.partial(time_point_surface_projection, **kwargs)
     return jax.vmap(fn)(stacks)
+
+
+def project_timepoint_auto(
+    image: jnp.ndarray,
+    reference_channel: int = 0,
+    method: str = "max_averages",
+    bin_size: int = 1,
+    airyscan: bool = True,
+    atoh_shift: int = 0,
+    build_manifold: bool = False,
+    airyscan_offset: float = 10000.0,
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Projection with automatic kernel selection.
+
+    On TPU, for the default configuration (max_averages, bin_size 1, no
+    manifold), dispatches to the 2-pass fused Pallas pipeline
+    (projection/fused.py: ~25 full-volume XLA passes -> 2 HBM passes); otherwise
+    falls back to time_point_surface_projection. Call from inside jit freely —
+    the dispatch is trace-time static.
+    """
+    use_fused = (
+        method == "max_averages" and bin_size == 1 and not build_manifold
+        and not kwargs.get("min_z") and not kwargs.get("max_z")
+        and not kwargs.get("precise")
+        and jax.default_backend() == "tpu"
+    )
+    if use_fused:
+        from tissue_image_processing_tpu.projection.fused import (
+            fused_projection, fused_projection_supported)
+        if fused_projection_supported(image.shape):
+            return fused_projection(image, reference_channel=reference_channel,
+                                    airyscan=airyscan,
+                                    airyscan_offset=airyscan_offset,
+                                    atoh_shift=atoh_shift)
+    return time_point_surface_projection(
+        image, reference_channel=reference_channel, method=method,
+        bin_size=bin_size, airyscan=airyscan, atoh_shift=atoh_shift,
+        build_manifold=build_manifold, airyscan_offset=airyscan_offset, **kwargs)

@@ -216,8 +216,22 @@ class TwoByTwoCompare:
 
 
 class HierarchicalTwoSamplesCompare:
-    """Hierarchical (per biological repeat) two-sample comparison (reference
-    ``HierarchicalTwoSamplesCompare``, ``statistical_analysis.py:653-885``)."""
+    """Hierarchical (per biological repeat) two-sample comparison with the
+    reference's exact model-selection routing (``statistical_analysis.py:653-885``):
+
+    counts: fit Poisson GLM ``measurement ~ stage``; overdispersion = Pearson
+    chi^2 / df_resid of that fit (threshold 1.5); zero-inflation = observed zero
+    fraction > 1.5 * exp(-mean). Routes to Poisson / NB / ZIP / ZINB and reports
+    the Wald p-value of the stage coefficient.
+
+    continuous: Shapiro normality + skew on the pooled measurements; normal ->
+    random-intercept LMM (replicate = biological repeat, shared across stages
+    like the reference's ``R{group}`` labels); all-positive -> log-LMM; else
+    Gamma GLM (skew <= 2) or InverseGaussian GLM (skew > 2).
+
+    The fits are our own IRLS / ML / REML implementations (stats/glm.py);
+    statsmodels is not available here.
+    """
 
     def __init__(self, groups1: Sequence[np.ndarray], groups2: Sequence[np.ndarray],
                  kind: str = "continuous", alpha: float = 0.05):
@@ -228,55 +242,62 @@ class HierarchicalTwoSamplesCompare:
         self.alpha = alpha
         self.result = self.compare()
 
-    @staticmethod
-    def _overdispersed(vals: np.ndarray) -> bool:
-        m = vals.mean()
-        return bool(vals.var() > 1.5 * m) if m > 0 else False
-
-    @staticmethod
-    def _zero_inflated(vals: np.ndarray) -> bool:
-        m = vals.mean()
-        expected_zeros = np.exp(-m) * vals.size
-        return bool((vals == 0).sum() > 2 * expected_zeros + 1)
+    def _design(self):
+        y = np.concatenate(self.g1 + self.g2)
+        stage = np.concatenate([np.zeros(sum(g.size for g in self.g1)),
+                                np.ones(sum(g.size for g in self.g2))])
+        # replicate labels repeat across stages (reference: f"R{group}")
+        rep = np.concatenate([np.full(g.size, i) for i, g in enumerate(self.g1)]
+                             + [np.full(g.size, i) for i, g in enumerate(self.g2)])
+        X = np.column_stack([np.ones_like(y), stage])
+        return y, X, rep
 
     def compare(self) -> Dict:
+        from tissue_image_processing_tpu.stats.glm import (
+            fit_glm, fit_lmm, fit_zinb, fit_zip)
+
+        y, X, rep = self._design()
         if self.kind == "counts":
-            all1 = np.concatenate(self.g1)
-            all2 = np.concatenate(self.g2)
-            family = "poisson"
-            if self._overdispersed(np.concatenate([all1, all2])):
-                family = "negative binomial"
-            if self._zero_inflated(np.concatenate([all1, all2])):
-                family = "zero-inflated " + family
-            # quasi-Poisson rate ratio test on per-repeat totals
-            m1 = np.array([g.sum() for g in self.g1], float)
-            m2 = np.array([g.sum() for g in self.g2], float)
-            n1 = np.array([g.size for g in self.g1], float)
-            n2 = np.array([g.size for g in self.g2], float)
-            r1 = m1 / np.maximum(n1, 1)
-            r2 = m2 / np.maximum(n2, 1)
-            stat, p = stats.ttest_ind(r1, r2, equal_var=False)
-            return {"family": family, "test": "per-repeat rate Welch t",
-                    "statistic": float(stat), "p_value": float(p),
-                    "rate1": float(r1.mean()), "rate2": float(r2.mean()),
+            pois = fit_glm(y, X, "poisson")
+            overdisp = pois.overdispersion
+            zero_inf = bool((y == 0).mean() > np.exp(-y.mean()) * 1.5)
+            if zero_inf:
+                if overdisp > 1.5:
+                    model, family = fit_zinb(y, X, X), "zero-inflated negative binomial"
+                else:
+                    model, family = fit_zip(y, X, X), "zero-inflated poisson"
+            else:
+                if overdisp > 1.5:
+                    model, family = fit_glm(y, X, "negbin"), "negative binomial"
+                else:
+                    model, family = pois, "poisson"
+            p = model.p_stage
+            return {"family": family, "test": "Wald z on stage coefficient",
+                    "statistic": float(model.coef[1] / model.bse[1])
+                    if model.bse[1] > 0 else 0.0,
+                    "p_value": p, "overdispersion": float(overdisp),
+                    "zero_inflation": zero_inf, "model": model,
                     "significant": bool(p < self.alpha)}
-        # continuous: model choice by normality / skew like the reference
-        all1 = np.concatenate(self.g1)
-        all2 = np.concatenate(self.g2)
-        pooled = np.concatenate([all1, all2])
-        if _is_normal(pooled, self.alpha):
-            family = "LMM (normal)"
-        elif pooled.min() > 0 and _is_normal(np.log(pooled), self.alpha):
-            family = "log-LMM"
-        elif stats.skew(pooled) > 1 and pooled.min() >= 0:
-            family = "Gamma GLMM"
+        # continuous: Shapiro + skew routing, identical branch order to the
+        # reference (p_norm > 0.05 & |skew| < 1 -> LMM; all positive -> log-LMM;
+        # else skew > 2 -> InvGauss GLM, otherwise Gamma GLM)
+        p_norm = float(stats.shapiro(y if y.size <= 5000 else y[:5000])[1])
+        sk = float(stats.skew(y))
+        if p_norm > 0.05 and abs(sk) < 1:
+            model, family = fit_lmm(y, X, rep), "LMM (normal)"
+        elif (y > 0).all():
+            model, family = fit_lmm(np.log(y), X, rep), "log-LMM"
         else:
-            family = "InvGauss GLMM"
-        m1 = np.array([g.mean() for g in self.g1 if g.size])
-        m2 = np.array([g.mean() for g in self.g2 if g.size])
-        if family == "log-LMM":
-            m1, m2 = np.log(m1), np.log(m2)
-        stat, p = stats.ttest_ind(m1, m2, equal_var=False)
-        return {"family": family, "test": "per-repeat mean Welch t",
-                "statistic": float(stat), "p_value": float(p),
-                "significant": bool(p < self.alpha)}
+            # reference feeds y straight to the GLM here; clip to positive so
+            # the variance function is defined (its statsmodels call would fail)
+            yp = np.maximum(y, 1e-8)
+            if sk > 2:
+                model, family = fit_glm(yp, X, "invgauss"), "InvGauss GLMM"
+            else:
+                model, family = fit_glm(yp, X, "gamma"), "Gamma GLMM"
+        p = model.p_stage
+        return {"family": family, "test": "Wald z on stage coefficient",
+                "statistic": float(model.coef[1] / model.bse[1])
+                if model.bse[1] > 0 else 0.0,
+                "p_value": p, "normality_p": p_norm, "skewness": sk,
+                "model": model, "significant": bool(p < self.alpha)}
