@@ -221,3 +221,23 @@ def test_spatial_map():
                       values=vals, mask=jnp.asarray(exists), feature="mean")
     assert m.shape == (64, 64)
     assert float(jnp.max(m)) <= 1.0
+
+
+def test_stage_shift_chain_mapping(tmp_path):
+    import pandas as pd
+    t = Tissue(3, os.path.join(str(tmp_path), "movie.tif"), channel_names=[],
+               capacity=8)
+    # stage columns are in (z, y, x) physical units; image rows follow stage y
+    t.stage_locations = pd.DataFrame({
+        "z": [0.0, 0.0, 0.0],
+        "y": [10.0, 12.0, 12.0],
+        "x": [5.0, 5.0, 4.0],
+        "physical_size_z": [1.0] * 3,
+        "physical_size_y": [0.1] * 3,
+        "physical_size_x": [0.1] * 3,
+    })
+    shifts = t.stage_shift_chain(1, 3)
+    assert shifts.shape == (3, 2)
+    assert np.allclose(shifts[0], 0)
+    assert np.allclose(shifts[1], [20.0, 0.0])   # dy = 2.0 / 0.1 px
+    assert np.allclose(shifts[2], [0.0, -10.0])  # dx = -1.0 / 0.1 px

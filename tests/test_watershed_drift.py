@@ -201,3 +201,46 @@ def test_cc_diffusion_pallas_matches_cc():
         FP.pl.pallas_call = orig_call
     want = np.asarray(connected_components(jnp.asarray(mask), connectivity=1))
     np.testing.assert_array_equal(got, want)
+
+
+def _stage_jump_pair(shift=(150, -100), size=256, seed=7):
+    """Non-circular translation: new random content enters the vacated region,
+    so plain phase correlation sees only the (small) true overlap."""
+    rng = np.random.default_rng(seed)
+    big = ndi.gaussian_filter(rng.random((size * 3, size * 3)), 1.0)
+    y0 = x0 = size  # frame A window
+    a = big[y0:y0 + size, x0:x0 + size]
+    # positive drift = shift to ADD to current to get previous: current window
+    # moves by +shift in scene coordinates
+    b = big[y0 + shift[0]:y0 + shift[0] + size, x0 + shift[1]:x0 + shift[1] + size]
+    return a.astype(np.float32), b.astype(np.float32)
+
+
+def test_refine_drift_with_stage_prior_beats_plain():
+    from tissue_image_processing_tpu.ops.drift import refine_drift
+    true = (150, -100)
+    a, b = _stage_jump_pair(true)
+    # a noisy stage prior (±3 px) still lands the refinement
+    ref = refine_drift(a, b, coarse_dy=true[0] + 2.4, coarse_dx=true[1] - 2.9)
+    assert abs(ref[0] - true[0]) < 0.5 and abs(ref[1] - true[1]) < 0.5, ref
+    plain = np.asarray(phase_cross_correlation(jnp.asarray(a), jnp.asarray(b),
+                                               upsample_factor=100))
+    plain_err = max(abs(plain[0] - true[0]), abs(plain[1] - true[1]))
+    # the jump exceeds what plain phase correlation recovers on this content
+    assert plain_err > 5.0, f"plain unexpectedly succeeded: {plain}"
+
+
+def test_drift_chain_with_stage_priors():
+    from tissue_image_processing_tpu.ops.drift import drift_chain_with_stage_priors
+    rng = np.random.default_rng(3)
+    size = 256
+    big = ndi.gaussian_filter(rng.random((size * 4, size * 4)), 1.0).astype(np.float32)
+    jumps = np.array([[0, 0], [120, 60], [-90, 140]], float)
+    pos = np.cumsum(jumps, axis=0) + size
+    frames = np.stack([big[int(y):int(y) + size, int(x):int(x) + size]
+                       for y, x in pos])
+    noisy = jumps + rng.normal(0, 1.5, jumps.shape)
+    noisy[0] = 0
+    drifts = drift_chain_with_stage_priors(frames, noisy)
+    assert np.allclose(drifts[0], 0)
+    assert np.abs(drifts[1:] - jumps[1:]).max() < 0.5, drifts

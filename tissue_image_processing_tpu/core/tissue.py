@@ -319,9 +319,16 @@ class Tissue:
         valid = np.array([self.is_frame_valid(f) and have[i]
                           for i, f in enumerate(frames)])
         if images is not None:
-            from tissue_image_processing_tpu.core.tracking import compute_drift_chain
-            drifts = np.asarray(compute_drift_chain(jnp.asarray(
-                np.asarray(images[initial_frame - 1:final_frame], np.float32))))
+            imgs = np.asarray(images[initial_frame - 1:final_frame], np.float32)
+            stage = self.stage_shift_chain(initial_frame, final_frame)
+            if stage is not None:
+                # integer pre-shift crop from the stage pickle + sub-pixel
+                # refinement (reference update_drift, tissue_info.py:1982-2035)
+                from tissue_image_processing_tpu.ops.drift import (
+                    drift_chain_with_stage_priors)
+                drifts = drift_chain_with_stage_priors(imgs, stage)
+            else:
+                drifts = np.asarray(compute_drift_chain(jnp.asarray(imgs)))
             self.drifts[initial_frame - 1:final_frame] = drifts
         drifts = jnp.asarray(self.drifts[initial_frame - 1:final_frame].astype(np.float32))
         ids = np.asarray(track_movie(
@@ -779,6 +786,29 @@ class Tissue:
     def clean_up(self):
         if self.working_dir and os.path.isdir(self.working_dir):
             shutil.rmtree(self.working_dir, ignore_errors=True)
+
+    def stage_shift_chain(self, initial_frame: int, final_frame: int):
+        """(T, 2) coarse per-frame-pair shifts (rows, cols) in pixels from the
+        stage-location sidecar, or None. Row shift = stage-y delta / physical_y,
+        col shift = stage-x delta / physical_x — the reference's "x/y are
+        swapped between stage location and image" mapping
+        (``tissue_info.py:1982-1994``)."""
+        loc = self.stage_locations
+        if loc is None:
+            return None
+        T = final_frame - initial_frame + 1
+        shifts = np.zeros((T, 2), np.float64)
+        try:
+            for i in range(1, T):
+                f = initial_frame + i
+                d = (loc.loc[f - 1, ["y", "x"]].to_numpy(dtype=float)
+                     - loc.loc[f - 2, ["y", "x"]].to_numpy(dtype=float))
+                ps = loc.loc[f - 1, ["physical_size_y",
+                                     "physical_size_x"]].to_numpy(dtype=float)
+                shifts[i] = d / ps
+        except (KeyError, IndexError):
+            return None
+        return shifts
 
     def load_stage_locations(self):
         """Sidecar stage-location pickle next to the movie (reference

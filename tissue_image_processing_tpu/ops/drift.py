@@ -19,7 +19,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["phase_cross_correlation", "calculate_drift"]
+__all__ = ["phase_cross_correlation", "calculate_drift", "refine_drift",
+           "drift_chain_with_stage_priors"]
 
 
 def _upsampled_dft(data: jnp.ndarray, region: int, upsample: float,
@@ -87,3 +88,57 @@ def calculate_drift(first_image: jnp.ndarray, second_image: jnp.ndarray,
     the first (reference ``basic_image_manipulations.py:522-536``)."""
     factor = 100 if sub_pixel_precision else 1
     return phase_cross_correlation(first_image, second_image, upsample_factor=factor)
+
+
+def refine_drift(previous: jnp.ndarray, current: jnp.ndarray,
+                 coarse_dy: float = 0.0, coarse_dx: float = 0.0,
+                 shape_quantum: int = 32):
+    """Integer pre-shift crop to the overlap + sub-pixel phase-correlation
+    refinement (reference ``calculate_refine_drift``/``update_drift``,
+    ``tissue_info.py:1940-2035``).
+
+    The coarse shift comes from host-side stage metadata, so the crop happens at
+    trace time with Python ints (both crops floor the shift exactly like the
+    reference). ``shape_quantum`` trims the overlap down to a multiple of 32 so
+    a movie full of distinct stage jumps compiles only a handful of programs.
+
+    Returns a host float array (total_dy, total_dx): rows then columns, the
+    shift to add to ``current`` to align it with ``previous``.
+    """
+    import numpy as np
+
+    ry = int(math.floor(float(coarse_dy)))
+    rx = int(math.floor(float(coarse_dx)))
+    H, W = previous.shape[-2:]
+    oh = max(H - abs(ry), shape_quantum)
+    ow = max(W - abs(rx), shape_quantum)
+    oh -= oh % shape_quantum
+    ow -= ow % shape_quantum
+    a0 = ry if ry > 0 else 0
+    b0 = -ry if ry < 0 else 0
+    a1 = rx if rx > 0 else 0
+    b1 = -rx if rx < 0 else 0
+    prev_c = jax.lax.slice(jnp.asarray(previous), (a0, a1), (a0 + oh, a1 + ow))
+    cur_c = jax.lax.slice(jnp.asarray(current), (b0, b1), (b0 + oh, b1 + ow))
+    refined = np.asarray(phase_cross_correlation(prev_c, cur_c,
+                                                 upsample_factor=100))
+    return np.array([ry, rx], np.float64) + refined
+
+
+def drift_chain_with_stage_priors(images, stage_shifts) -> "np.ndarray":
+    """(T, H, W) images + (T, 2) per-frame coarse stage shifts (rows, cols;
+    shift[0] ignored) -> (T, 2) refined drifts, drift[0] = 0 (reference
+    ``update_drift`` with ``stage_locations``, ``tissue_info.py:1982-2035``).
+
+    Host-orchestrated: each frame pair crops to the stage-predicted overlap and
+    refines with sub-pixel phase correlation, so stage jumps far beyond the
+    phase-correlation search envelope still register."""
+    import numpy as np
+
+    T = images.shape[0]
+    drifts = np.zeros((T, 2), np.float64)
+    for t in range(1, T):
+        drifts[t] = refine_drift(images[t - 1], images[t],
+                                 coarse_dy=float(stage_shifts[t, 0]),
+                                 coarse_dx=float(stage_shifts[t, 1]))
+    return drifts
