@@ -14,6 +14,7 @@ Usage: python bench.py [--frames 8] [--size 1024] [--zdepth 30] [--batch 2] [--q
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -42,6 +43,41 @@ def make_movie(T, Z, H, W, n_cells=None, seed=0):
     return np.clip(frames, 0, 65535)
 
 
+def _best_dice(got, want):
+    """Mean best-match Dice between label maps (cells >= 20 px only)."""
+    dices = []
+    for l in range(1, int(want.max()) + 1):
+        wm = want == l
+        if wm.sum() < 20:
+            continue
+        cand = np.bincount(got[wm].ravel())
+        cand[0] = 0
+        if cand.size <= 1 or cand.max() == 0:
+            dices.append(0.0)
+            continue
+        g = cand.argmax()
+        gm = got == g
+        dices.append(2 * np.logical_and(wm, gm).sum() / (wm.sum() + gm.sum()))
+    return float(np.mean(dices)) if dices else 0.0
+
+
+def _lineage_links(ids_list):
+    """Set of (t_prev, i_prev, t_cur, i_cur) links implied by shared track ids
+    (parent = most recent earlier appearance of the same id) — id-relabel
+    invariant, same definition as tests/test_tracking.py."""
+    last_seen = {}
+    links = set()
+    for t, ids in enumerate(ids_list):
+        for i, v in enumerate(ids):
+            v = int(v)
+            if v == 0:
+                continue
+            if v in last_seen:
+                links.add((*last_seen[v], t, i))
+            last_seen[v] = (t, i)
+    return links
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=8)
@@ -50,6 +86,8 @@ def main(argv=None):
     p.add_argument("--capacity", type=int, default=1024)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--quick", action="store_true", help="256^2 x 8 smoke run")
+    p.add_argument("--headline-only", action="store_true",
+                   help="skip the per-config BASELINE.json suite")
     args = p.parse_args(argv)
     if args.quick:
         args.size, args.zdepth, args.frames, args.capacity = 256, 8, 4, 512
@@ -105,19 +143,20 @@ def main(argv=None):
             projs, cys, cxs, areas, masks = map(
                 flat, (projs, cys, cxs, areas, masks))
         drifts = compute_drift_chain(projs)
-        return track_movie(cys, cxs, areas, masks, drifts=drifts, capacity=2 * cap)
+        ids = track_movie(cys, cxs, areas, masks, drifts=drifts, capacity=2 * cap)
+        return ids, projs, (cys, cxs, areas, masks, drifts)
 
     def full_pass():
         return full_program(movie_dev)
 
     print("# compiling pipeline (one batched program)...", file=sys.stderr)
     t_compile = time.time()
-    ids = full_pass()
+    ids, projs, track_data = full_pass()
     ids_np = np.asarray(ids)  # forces the whole chain
     print(f"# compile + first pass: {time.time() - t_compile:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    ids = full_pass()
+    ids, projs, track_data = full_pass()
     ids_np = np.asarray(ids)  # single small host read = sync point
     elapsed = time.time() - t0
     fps = T / elapsed
@@ -138,8 +177,208 @@ def main(argv=None):
         "unit": "frames/sec",
         "vs_baseline": round(fps / 50.0, 3),
     }
+    if not (args.quick or args.headline_only):
+        try:
+            result.update(run_baseline_configs(
+                args, movie_dev, projs, ids_np, track_data, cap))
+        except Exception as e:  # a failing side config must not kill the headline
+            print(f"# config suite failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            result["configs_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
     return 0
+
+
+def _timed_loop(fn, iters):
+    """Run a jitted 0-arg device program, sync once, return seconds (tunnel
+    read overhead of ~27 ms subtracted by the caller via iters)."""
+    import numpy as np
+    out = fn()
+    np.asarray(out)  # warm + sync
+    t0 = time.time()
+    out = fn()
+    np.asarray(out)
+    return max(time.time() - t0 - 0.027, 1e-6)
+
+
+def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
+    """BASELINE.json configs 1-5 + the accuracy half of the north star
+    (Dice vs the native Meyer oracle, lineage parity vs the Crocker-Grier
+    oracle). Each throughput number times a multi-iteration device program with
+    one host read (see the timing note at the top)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+    from tissue_image_processing_tpu.core.tracking import (
+        compute_drift_chain, track_movie)
+    from tissue_image_processing_tpu.ops.watershed import watershed_segmentation
+    from tissue_image_processing_tpu.projection.surface import (
+        project_timepoint_auto)
+
+    T = args.frames
+    H = W = args.size
+    configs = {}
+    N_IT = 10
+
+    # --- config 1: 512^2 blur + threshold + watershed labeling
+    print("# config 1: 512^2 watershed ...", file=sys.stderr)
+    tiles = projs[:, :512, :512]
+
+    @jax.jit
+    def cfg1():
+        def step(i, acc):
+            lab = watershed_segmentation(tiles[i % T], 0.2, 3.0, 101)
+            return acc + lab[0, 0].astype(jnp.float32) * 1e-20
+        return jax.lax.fori_loop(0, N_IT, step, jnp.float32(0))
+
+    configs["1_watershed_512"] = round(N_IT / _timed_loop(cfg1, N_IT), 2)
+
+    # --- config 2: 1024^2 x 30 surface projection
+    print("# config 2: projection ...", file=sys.stderr)
+
+    @jax.jit
+    def cfg2():
+        def step(i, acc):
+            proj, _ = project_timepoint_auto(movie_dev[i % T],
+                                             reference_channel=0, airyscan=False)
+            return acc + proj[0, 0, 0] * 1e-20
+        return jax.lax.fori_loop(0, N_IT, step, jnp.float32(0))
+
+    configs["2_projection_fps"] = round(N_IT / _timed_loop(cfg2, N_IT), 2)
+
+    # --- config 3: U-Net inference on 8 projected frames (1024^2, 2ch, bf16)
+    print("# config 3: U-Net inference ...", file=sys.stderr)
+    from tissue_image_processing_tpu.models.unet import UNet, build_unet
+    model = UNet(depth=3, base_filters=128, dtype=jnp.bfloat16)
+    _, variables = build_unet((H, W, 2), depth=3, base_filters=128,
+                              dtype=jnp.bfloat16)
+    x1 = jnp.stack([projs[0] / jnp.maximum(projs[0].max(), 1.0)] * 2, axis=-1)
+
+    @jax.jit
+    def cfg3():
+        def step(i, acc):
+            x = x1 + acc * 1e-30
+            pred = model.apply(variables, x[None], train=False)
+            return acc + pred[0, 0, 0, 0].astype(jnp.float32) * 1e-20
+        return jax.lax.fori_loop(0, 8, step, jnp.float32(0))
+
+    configs["3_unet_inference_fps"] = round(8 / _timed_loop(cfg3, 8), 2)
+
+    # --- config 4: 100-frame time-lapse watershed + tracking
+    print("# config 4: 100-frame track ...", file=sys.stderr)
+    T100 = 100
+    reps = -(-T100 // T)
+    frames100 = jnp.concatenate([
+        jnp.stack([jnp.roll(projs[t], (3 * r, -2 * r), (0, 1))
+                   for t in range(T)]) for r in range(reps)])[:T100]
+
+    @jax.jit
+    def cfg4():
+        def per_frame(p):
+            lab = watershed_segmentation(p, 0.2, 3.0, 101)
+            tb = frame_cellinfo(lab, capacity=cap)
+            return tb.cy, tb.cx, tb.area, tb.valid_mask()
+        cys, cxs, areas, masks = jax.lax.map(per_frame, frames100)
+        drifts = compute_drift_chain(frames100)
+        return track_movie(cys, cxs, areas, masks, drifts=drifts,
+                           capacity=4 * cap)
+
+    configs["4_track100_fps"] = round(T100 / _timed_loop(cfg4, 1), 2)
+
+    # --- config 5: full 4-D movie: proj -> UNet -> watershed -> track ->
+    #     statistics + export (host .npz write included in the wall time)
+    print("# config 5: full 4-D movie ...", file=sys.stderr)
+    from tissue_image_processing_tpu.models.predictor import unet_postprocess
+    from tissue_image_processing_tpu.ops.brightness import normalize_channel
+
+    @jax.jit
+    def cfg5_program():
+        def per_frame(stack):
+            proj, _ = project_timepoint_auto(stack, reference_channel=0,
+                                             airyscan=False)
+            norm = jax.vmap(normalize_channel)(proj)
+            x = jnp.transpose(norm, (2, 1, 0)).astype(jnp.bfloat16)  # x-major
+            pred = model.apply(variables, x[None], train=False)[0]
+            labels, hc = unet_postprocess(pred.astype(jnp.float32))
+            tb = frame_cellinfo(labels, capacity=cap)
+            return (proj[0], tb.cy, tb.cx, tb.area, tb.valid_mask(),
+                    tb.n_neighbors)
+        prj, cys, cxs, areas, masks, nn = jax.lax.map(per_frame, movie_dev)
+        drifts = compute_drift_chain(prj)
+        ids = track_movie(cys, cxs, areas, masks, drifts=drifts,
+                          capacity=2 * cap)
+        n_valid = masks.sum(1)
+        stats = {"mean_area": (areas * masks).sum(1) / jnp.maximum(n_valid, 1),
+                 "density": n_valid / float(H * W),
+                 "mean_neighbors": (nn * masks).sum(1) / jnp.maximum(n_valid, 1)}
+        return ids, cys, cxs, areas, stats
+
+    import tempfile
+
+    def cfg5():
+        out = cfg5_program()
+        ids5, cy5, cx5, ar5, st5 = jax.tree_util.tree_map(np.asarray, out)
+        with tempfile.NamedTemporaryFile(suffix=".npz", delete=True) as f:
+            np.savez(f, ids=ids5, cy=cy5, cx=cx5, area=ar5, **st5)
+        return ids5
+
+    cfg5()  # warm
+    t0 = time.time()
+    cfg5()
+    configs["5_full_movie_fps"] = round(T / (time.time() - t0), 2)
+
+    # --- accuracy: Dice vs the native Meyer flood oracle at bench size
+    print("# accuracy: Dice vs native oracle ...", file=sys.stderr)
+    dice = None
+    try:
+        from tissue_image_processing_tpu.native import (
+            meyer_watershed_native, native_available)
+        if native_available():
+            from tissue_image_processing_tpu.ops.filters import gaussian_blur
+            from tissue_image_processing_tpu.ops.local_threshold import (
+                local_threshold)
+            surf = np.asarray(jax.jit(lambda p: gaussian_blur(
+                local_threshold(p, 0.2, 101).astype(jnp.float32), 3.0))(projs[0]))
+            ours = np.asarray(jax.jit(lambda p: watershed_segmentation(
+                p, 0.2, 3.0, 101))(projs[0]))
+            want = meyer_watershed_native(surf.astype(np.float32))
+            dice = round(_best_dice(ours, want), 4)
+    except Exception as e:
+        print(f"# dice skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # --- accuracy: lineage parity vs the exact Crocker-Grier oracle
+    print("# accuracy: lineage parity ...", file=sys.stderr)
+    parity = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from oracles import crocker_grier_link
+        cys, cxs, areas, masks, drifts = [np.asarray(x) for x in track_data]
+        cum = np.cumsum(drifts, axis=0)
+        frames, rowmaps = [], []
+        for t in range(T):
+            rows = np.nonzero(masks[t])[0]
+            rowmaps.append(rows)
+            frames.append((cys[t, rows] + cum[t, 0], cxs[t, rows] + cum[t, 1],
+                           areas[t, rows]))
+        orc = crocker_grier_link(frames)
+        ids_orc = [np.zeros(ids_np.shape[1], np.int64) for _ in range(T)]
+        for t in range(T):
+            ids_orc[t][rowmaps[t]] = orc[t]
+        links_dev = _lineage_links([ids_np[t] for t in range(T)])
+        links_orc = _lineage_links(ids_orc)
+        parity = round(len(links_dev & links_orc) / max(len(links_orc), 1), 4)
+    except Exception as e:
+        print(f"# lineage parity skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    out = {"configs": configs}
+    if dice is not None:
+        out["dice_vs_native_oracle"] = dice
+    if parity is not None:
+        out["lineage_parity_vs_crocker_grier"] = parity
+    return out
 
 
 if __name__ == "__main__":

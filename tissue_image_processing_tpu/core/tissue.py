@@ -18,6 +18,7 @@ import json
 import os
 import pickle
 import shutil
+import time
 import zipfile
 from typing import Dict, Iterator, List, Optional
 
@@ -111,6 +112,11 @@ class Tissue:
         self._cell_types: List[Optional[np.ndarray]] = [None] * number_of_frames
         self._tables: List[Optional[CellTable]] = [None] * number_of_frames
         self.working_dir = None
+        # out-of-core mode (reference tissue_info.py:310-353): at most ONE frame
+        # of each artifact lives in RAM; frame switches flush-then-load through
+        # the working dir. _mem[kind] = 0-based frame currently in memory.
+        self._swap = bool(use_working_dir)
+        self._mem = {"labels": -1, "types": -1, "data": -1}
         if use_working_dir:
             self.working_dir = get_temp_directory(data_path)
             os.makedirs(self.working_dir, exist_ok=True)
@@ -123,31 +129,109 @@ class Tissue:
         if not (1 <= frame <= self.number_of_frames):
             raise IndexError(f"frame {frame} out of range")
 
+    # -- out-of-core swap machinery (active when use_working_dir=True) --------
+
+    _KIND_STORE = {"labels": "_labels", "types": "_cell_types", "data": "_tables"}
+    _KIND_FILE = {"labels": "frame_{}_labels.npy", "types": "frame_{}_types.npy",
+                  "data": "frame_{}_data.pkl"}
+
+    def _artifact_path(self, kind: str, i: int) -> str:
+        return os.path.join(self._ensure_working_dir(),
+                            self._KIND_FILE[kind].format(i + 1))
+
+    def _write_artifact(self, kind: str, i: int, value, retries: int = 5):
+        """Bounded-retry write (the reference retries OSError forever with 1 s
+        sleeps, tissue_info.py:3616-3630; we cap at ``retries``)."""
+        path = self._artifact_path(kind, i)
+        for attempt in range(retries):
+            try:
+                if kind == "data":
+                    value.to_pandas().to_pickle(path)
+                else:
+                    np.save(path, value)
+                return
+            except OSError:
+                if attempt == retries - 1:
+                    raise
+                time.sleep(1.0)
+
+    def _read_artifact(self, kind: str, i: int):
+        path = self._artifact_path(kind, i)
+        if not os.path.isfile(path):
+            return None
+        if kind == "data":
+            df = pd.read_pickle(path)
+            if len(df) and isinstance(df["type"].iloc[0], str):
+                # legacy single-type format (reference tissue_info.py:4221-4223)
+                df = df.replace({"HC": 1, "SC": 0, "invalid": 0})
+            return CellTable.from_pandas(df, capacity=self.capacity,
+                                         max_neighbors=self.max_neighbors)
+        return np.load(path)
+
+    def _swap_to(self, kind: str, i: int):
+        """Make frame ``i`` the (single) in-memory frame for ``kind``:
+        flush the current one to the working dir, then load ``i`` from disk."""
+        store = getattr(self, self._KIND_STORE[kind])
+        cur = self._mem[kind]
+        if cur == i:
+            return
+        if cur >= 0 and store[cur] is not None:
+            self._write_artifact(kind, cur, store[cur])
+            store[cur] = None
+        store[i] = self._read_artifact(kind, i)
+        self._mem[kind] = i
+
+    def _drop_artifact(self, kind: str, i: int):
+        store = getattr(self, self._KIND_STORE[kind])
+        store[i] = None
+        if self._mem[kind] == i:
+            self._mem[kind] = -1
+        # remove any flushed copy so a later save() cannot resurrect stale data
+        if self.working_dir:
+            path = os.path.join(self.working_dir,
+                                self._KIND_FILE[kind].format(i + 1))
+            if os.path.isfile(path):
+                os.remove(path)
+
+    # -- frame artifact accessors ---------------------------------------------
+
     def get_labels(self, frame: int) -> Optional[np.ndarray]:
         self._check(frame)
+        if self._swap:
+            self._swap_to("labels", frame - 1)
         return self._labels[frame - 1]
 
     def set_labels(self, frame: int, labels, reset_data: bool = False):
         self._check(frame)
+        if self._swap:
+            self._swap_to("labels", frame - 1)
         self._labels[frame - 1] = np.asarray(labels)
         if reset_data:
-            self._tables[frame - 1] = None
-            self._cell_types[frame - 1] = None
+            self._drop_artifact("data", frame - 1)
+            self._drop_artifact("types", frame - 1)
 
     def get_cell_types(self, frame: int) -> Optional[np.ndarray]:
         self._check(frame)
+        if self._swap:
+            self._swap_to("types", frame - 1)
         return self._cell_types[frame - 1]
 
     def set_cell_types(self, frame: int, cell_types):
         self._check(frame)
+        if self._swap:
+            self._swap_to("types", frame - 1)
         self._cell_types[frame - 1] = np.asarray(cell_types)
 
     def get_cells_info(self, frame: int) -> Optional[CellTable]:
         self._check(frame)
+        if self._swap:
+            self._swap_to("data", frame - 1)
         return self._tables[frame - 1]
 
     def set_cells_info(self, frame: int, table: CellTable):
         self._check(frame)
+        if self._swap:
+            self._swap_to("data", frame - 1)
         self._tables[frame - 1] = table
 
     def is_frame_valid(self, frame: int) -> bool:
@@ -710,15 +794,14 @@ class Tissue:
 
     def _flush_to_working_dir(self):
         wd = self._ensure_working_dir()
+        # in swap mode every frame but the in-memory one is already on disk
         for i in range(self.number_of_frames):
-            f = i + 1
             if self._labels[i] is not None:
-                np.save(os.path.join(wd, f"frame_{f}_labels.npy"), self._labels[i])
+                self._write_artifact("labels", i, self._labels[i])
             if self._cell_types[i] is not None:
-                np.save(os.path.join(wd, f"frame_{f}_types.npy"), self._cell_types[i])
+                self._write_artifact("types", i, self._cell_types[i])
             if self._tables[i] is not None:
-                self._tables[i].to_pandas().to_pickle(
-                    os.path.join(wd, f"frame_{f}_data.pkl"))
+                self._write_artifact("data", i, self._tables[i])
         self.events.to_pickle(os.path.join(wd, "events_data.pkl"))
         np.save(os.path.join(wd, "drifts.npy"), self.drifts)
         np.save(os.path.join(wd, "valid_frames.npy"), self.valid_frames)
@@ -745,22 +828,15 @@ class Tissue:
         if self.working_dir and os.path.isdir(self.working_dir):
             shutil.rmtree(self.working_dir, ignore_errors=True)
         self.working_dir = wd
-        for i in range(self.number_of_frames):
-            f = i + 1
-            p = os.path.join(wd, f"frame_{f}_labels.npy")
-            if os.path.isfile(p):
-                self._labels[i] = np.load(p)
-            p = os.path.join(wd, f"frame_{f}_types.npy")
-            if os.path.isfile(p):
-                self._cell_types[i] = np.load(p)
-            p = os.path.join(wd, f"frame_{f}_data.pkl")
-            if os.path.isfile(p):
-                df = pd.read_pickle(p)
-                if len(df) and isinstance(df["type"].iloc[0], str):
-                    # legacy single-type format (reference tissue_info.py:4221-4223)
-                    df = df.replace({"HC": 1, "SC": 0, "invalid": 0})
-                self._tables[i] = CellTable.from_pandas(
-                    df, capacity=self.capacity, max_neighbors=self.max_neighbors)
+        self._labels = [None] * self.number_of_frames
+        self._cell_types = [None] * self.number_of_frames
+        self._tables = [None] * self.number_of_frames
+        self._mem = {"labels": -1, "types": -1, "data": -1}
+        if not self._swap:
+            for i in range(self.number_of_frames):
+                self._labels[i] = self._read_artifact("labels", i)
+                self._cell_types[i] = self._read_artifact("types", i)
+                self._tables[i] = self._read_artifact("data", i)
         p = os.path.join(wd, "events_data.pkl")
         if os.path.isfile(p):
             self.events = pd.concat([self.events, pd.read_pickle(p)],
