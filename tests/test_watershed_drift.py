@@ -244,3 +244,31 @@ def test_drift_chain_with_stage_priors():
     drifts = drift_chain_with_stage_priors(frames, noisy)
     assert np.allclose(drifts[0], 0)
     assert np.abs(drifts[1:] - jumps[1:]).max() < 0.5, drifts
+
+
+def test_watershed_pallas_padded_matches_xla_unaligned():
+    """Unaligned shapes (reference movies are 1600-2000 px) pad to the next
+    (64, 128)-aligned size with +inf and crop back — labels in the real region
+    must match the XLA path exactly."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    import importlib
+    WS = importlib.import_module("tissue_image_processing_tpu.ops.watershed")
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    img = make_cell_image(150, 200, n_seeds=18, seed=5)[:150, :170]
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    blurred = jnp.asarray(ndi.gaussian_filter(seg.astype(np.float32), 3.0)
+                          .astype(np.float32))
+    want = np.asarray(WS.watershed(blurred, use_pallas=False))
+    FP.pl.pallas_call = interp_call
+    try:
+        got = np.asarray(WS.watershed.__wrapped__(blurred, use_pallas=True))
+    finally:
+        FP.pl.pallas_call = orig_call
+    assert got.shape == want.shape == (150, 170)
+    agree = (got == want).mean()
+    assert agree > 0.999, f"padded pallas vs XLA agreement {agree:.5f}"

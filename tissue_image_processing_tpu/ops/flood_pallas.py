@@ -36,14 +36,18 @@ __all__ = ["bf_flood_pallas", "settle_pallas", "cc_diffusion_pallas",
 
 _BLOCK = 64
 _MAX_SWEEPS = 4096
-# v5e/v4 have far more physical VMEM than Mosaic's 16 MB default scoped limit; the
-# settle kernel's 12 MB of resident state plus per-block temporaries needs ~17 MB.
-_VMEM_LIMIT = 64 * 1024 * 1024
+# v5e/v4 have far more physical VMEM than Mosaic's 16 MB default scoped limit. At
+# the 2048^2 cap the settle kernel holds lam+lbl+t state (48 MB) + halo snapshots
+# + per-block temporaries ~= 60 MB; 112 MB leaves headroom under the 128 MB core.
+_VMEM_LIMIT = 112 * 1024 * 1024
 
 
 def pallas_flood_supported(shape) -> bool:
+    """Exact-shape gate: row blocks of 64, lane-aligned width, state fits VMEM
+    (2048^2 x 12 B = 48 MB resident). Unaligned shapes pad-and-crop one level up
+    (ops/watershed.py) rather than falling to the ~10x slower XLA sweep path."""
     H, W = shape
-    return (H % _BLOCK == 0) and (W % 128 == 0) and H * W <= 1024 * 1024 and W <= 2048
+    return (H % _BLOCK == 0) and (W % 128 == 0) and H * W <= 2048 * 2048 and W <= 2048
 
 
 def _shift_rows(x, down: bool, edge):

@@ -134,13 +134,40 @@ def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
 
     ``use_pallas``: None = auto (TPU backend + size fits VMEM); True/False pins the
     path as a static arg so both variants can coexist in the jit cache.
+
+    Unaligned shapes (the reference's movies are 1600-2000 px,
+    ``split_large_movies.ijm:11,44``) are padded with +inf to the next
+    (64, 128)-aligned size and cropped back: the +inf plateau produces no seeds
+    (it is an escaping plateau), never donates to or gates any finite-lam pixel,
+    so labels in the real region are unchanged (asserted vs the XLA path in
+    tests).
     """
+    from tissue_image_processing_tpu.ops.flood_pallas import pallas_flood_supported
+
+    H, W = image.shape
+    if use_pallas is None:
+        use_pallas = _pallas_enabled(image.shape)
+    if use_pallas and not pallas_flood_supported((H, W)):
+        Hp = -(-H // 64) * 64
+        Wp = -(-W // 128) * 128
+        if pallas_flood_supported((Hp, Wp)):
+            img_p = jnp.pad(image.astype(jnp.float32),
+                            ((0, Hp - H), (0, Wp - W)),
+                            constant_values=jnp.inf)
+            mk_p = (None if markers is None else
+                    jnp.pad(markers, ((0, Hp - H), (0, Wp - W))))
+            out = _watershed_core(img_p, mk_p, watershed_line, True)
+            return out[:H, :W]
+        use_pallas = False
+    return _watershed_core(image, markers, watershed_line, use_pallas)
+
+
+def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
+                    watershed_line: bool, use_pallas: bool) -> jnp.ndarray:
     H, W = image.shape
     img = image.astype(jnp.float32)
     inf = jnp.float32(jnp.inf)
 
-    if use_pallas is None:
-        use_pallas = _pallas_enabled(image.shape)
     if markers is None:
         markers = regional_minima_labels(img, use_pallas=use_pallas)
     seeds = markers.astype(jnp.int32)
