@@ -125,3 +125,36 @@ def test_runtime_timer_and_cache(tmp_path):
         _ = jnp.ones((8, 8)).sum()
     assert "x" in t.stages and t.stages["x"] >= 0
     assert "x=" in t.report()
+
+
+def test_pipeline_config_json_roundtrip_and_cli_threading(tmp_path):
+    import json
+    from tissue_image_processing_tpu.config import PipelineConfig
+    from tissue_image_processing_tpu.cli import build_parser, _apply_config
+
+    cfg = PipelineConfig().replace(
+        segmentation=PipelineConfig().segmentation.__class__(
+            threshold=0.33, block_size=51, std=2.0))
+    path = os.path.join(str(tmp_path), "cfg.json")
+    cfg.to_json(path)
+    back = PipelineConfig.from_json(path)
+    assert back.segmentation.threshold == 0.33
+    assert back.projection.score_blur_std == (0.5, 30.0, 30.0)
+
+    # config file seeds unset flags; explicit flags win
+    args = build_parser().parse_args(
+        ["segment", "m.tif", "--config", path, "--std", "4.5"])
+    args = _apply_config(args)
+    assert args.threshold == 0.33      # from config
+    assert args.block_size == 51       # from config
+    assert args.std == 4.5             # flag overrides config
+    assert args.capacity == 4096       # builtin default via config
+    assert args.cfg.segmentation.block_size == 51
+
+    # no config file: builtin defaults
+    args2 = _apply_config(build_parser().parse_args(["segment", "m.tif"]))
+    assert args2.threshold == 0.2 and args2.block_size == 101
+
+    # track flags resolve from tracking config
+    args3 = _apply_config(build_parser().parse_args(["track", "m.tif"]))
+    assert args3.search_range == 100.0 and args3.memory == 3

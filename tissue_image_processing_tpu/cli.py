@@ -175,17 +175,21 @@ def build_parser():
         if movie:
             sp.add_argument("movie", nargs="?", default=None)
         sp.add_argument("--session", default=None, help=".seg session path")
-        sp.add_argument("--capacity", type=int, default=4096)
+        sp.add_argument("--config", default=None,
+                        help="PipelineConfig JSON; CLI flags override its values")
+        sp.add_argument("--capacity", type=int, default=None)
         sp.add_argument("--frames", type=int, default=1)
 
     sp = sub.add_parser("segment", help="watershed segmentation")
     sp.add_argument("movie")
     sp.add_argument("--session", default=None)
-    sp.add_argument("--capacity", type=int, default=4096)
+    sp.add_argument("--config", default=None,
+                    help="PipelineConfig JSON; CLI flags override its values")
+    sp.add_argument("--capacity", type=int, default=None)
     sp.add_argument("--channel", type=int, default=0)
-    sp.add_argument("--threshold", type=float, default=0.2)
-    sp.add_argument("--std", type=float, default=3.0)
-    sp.add_argument("--block-size", dest="block_size", type=int, default=101)
+    sp.add_argument("--threshold", type=float, default=None)
+    sp.add_argument("--std", type=float, default=None)
+    sp.add_argument("--block-size", dest="block_size", type=int, default=None)
     sp.add_argument("--initial", type=int, default=1)
     sp.add_argument("--final", type=int, default=0)
     sp.set_defaults(fn=cmd_segment)
@@ -193,7 +197,9 @@ def build_parser():
     sp = sub.add_parser("unet", help="U-Net segmentation")
     sp.add_argument("movie")
     sp.add_argument("--session", default=None)
-    sp.add_argument("--capacity", type=int, default=4096)
+    sp.add_argument("--config", default=None,
+                    help="PipelineConfig JSON; CLI flags override its values")
+    sp.add_argument("--capacity", type=int, default=None)
     sp.add_argument("--weights", default=None)
     sp.add_argument("--atoh-channel", dest="atoh_channel", type=int, default=0)
     sp.add_argument("--zo-channel", dest="zo_channel", type=int, default=1)
@@ -204,7 +210,9 @@ def build_parser():
     sp = sub.add_parser("types", help="classify cell types by marker channel")
     sp.add_argument("movie")
     sp.add_argument("--session", default=None)
-    sp.add_argument("--capacity", type=int, default=4096)
+    sp.add_argument("--config", default=None,
+                    help="PipelineConfig JSON; CLI flags override its values")
+    sp.add_argument("--capacity", type=int, default=None)
     sp.add_argument("--channel", type=int, default=0)
     sp.add_argument("--name", default="HC")
     sp.add_argument("--threshold", type=float, default=0.1)
@@ -214,8 +222,8 @@ def build_parser():
     sp = sub.add_parser("track", help="track cells over the movie")
     common(sp)
     sp.add_argument("--channel", type=int, default=0)
-    sp.add_argument("--search-range", dest="search_range", type=float, default=100.0)
-    sp.add_argument("--memory", type=int, default=3)
+    sp.add_argument("--search-range", dest="search_range", type=float, default=None)
+    sp.add_argument("--memory", type=int, default=None)
     sp.add_argument("--use-images", dest="use_images", action="store_true")
     sp.add_argument("--fix-types", dest="fix_types", action="store_true")
     sp.set_defaults(fn=cmd_track)
@@ -241,8 +249,33 @@ def build_parser():
     return p
 
 
+def _apply_config(args):
+    """Resolve unset flags from the PipelineConfig (CLI > config file > builtin
+    defaults) and attach the config as ``args.cfg`` — the single knob store the
+    reference never had (SURVEY 5.6)."""
+    from tissue_image_processing_tpu.config import PipelineConfig
+
+    cfg = (PipelineConfig.from_json(args.config)
+           if getattr(args, "config", None) else PipelineConfig())
+    mapping = {
+        "capacity": cfg.cells.max_cells,
+        "threshold": cfg.segmentation.threshold,
+        "std": cfg.segmentation.std,
+        "block_size": cfg.segmentation.block_size,
+        "search_range": cfg.tracking.search_range,
+        "memory": cfg.tracking.memory,
+    }
+    # (the types subcommand's --threshold keeps its own 0.1 default — it is the
+    # marker threshold, not the watershed one, so it never arrives as None)
+    for attr, value in mapping.items():
+        if hasattr(args, attr) and getattr(args, attr) is None:
+            setattr(args, attr, value)
+    args.cfg = cfg
+    return args
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    args = _apply_config(build_parser().parse_args(argv))
     args.fn(args)
     return 0
 

@@ -99,3 +99,36 @@ class PipelineConfig:
 
     def replace(self, **kwargs) -> "PipelineConfig":
         return dataclasses.replace(self, **kwargs)
+
+    # -- (de)serialization: one JSON file holds every knob ---------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as fp:
+            json.dump(self.to_dict(), fp, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        sub = {"projection": ProjectionConfig, "segmentation": SegmentationConfig,
+               "unet": UNetConfig, "tracking": TrackingConfig,
+               "cells": CellTableConfig}
+        kwargs = {}
+        for k, v in d.items():
+            if k in sub and isinstance(v, dict):
+                v = {kk: tuple(vv) if isinstance(vv, list) else vv
+                     for kk, vv in v.items()}
+                kwargs[k] = sub[k](**v)
+            else:
+                kwargs[k] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, path: str) -> "PipelineConfig":
+        import json
+
+        with open(path) as fp:
+            return cls.from_dict(json.load(fp))
