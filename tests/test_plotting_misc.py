@@ -117,3 +117,52 @@ def test_fix_one_frame_tracking(tracked_tissue):
     # propagated forward consistently
     after4 = int(np.asarray(t.get_cells_info(4).label)[14])
     assert after4 == after3 or after4 > 0
+
+
+def test_napari_layer_specs_without_napari(tmp_path):
+    """build_layer_specs is pure data prep — works with napari absent."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from tissue_image_processing_tpu.core.tissue import Tissue
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+    from tissue_image_processing_tpu.core.events import add_event
+    from tissue_image_processing_tpu.viz.napari_viewer import (
+        build_layer_specs, napari_available, scale_zchannel)
+
+    t = Tissue(2, os.path.join(str(tmp_path), "v.tif"), channel_names=["zo", "atoh"],
+               capacity=32)
+    rng = np.random.default_rng(0)
+    labels = np.zeros((64, 64), np.int32)
+    labels[4:20, 4:20] = 1
+    labels[30:50, 30:50] = 2
+    t.set_labels(1, labels)
+    t.set_cells_info(1, frame_cellinfo(jnp.asarray(labels), capacity=32))
+    add_event(t, "division", 1, 1, start_pos=(10, 10), end_pos=(10, 10))
+    img = rng.random((2, 64, 64)).astype(np.float32)
+    specs = build_layer_specs(t, 1, image=img)
+    kinds = [s["kind"] for s in specs]
+    names = [s["name"] for s in specs]
+    assert kinds.count("image") == 2 and "labels" in kinds and "points" in kinds
+    assert "zo" in names and "segmentation" in names
+    ev = [s for s in specs if s["kind"] == "points"][0]
+    assert ev["data"].shape == (1, 2)
+
+    # scale_zchannel operates on a duck-typed viewer (no napari import)
+    class L:
+        def __init__(self, shape):
+            self.data = np.zeros(shape)
+            self.scale = None
+
+    class V:
+        layers = [L((3, 8, 16, 16)), L((16, 16))]
+
+    v = V()
+    assert scale_zchannel(v, 2.5) == 1
+    assert v.layers[0].scale == [1, 2.5, 1, 1]
+
+    if not napari_available():
+        import pytest
+        from tissue_image_processing_tpu.viz.napari_viewer import TissueViewer
+        with pytest.raises(ImportError):
+            TissueViewer(t)
