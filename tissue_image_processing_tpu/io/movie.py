@@ -35,8 +35,29 @@ class MovieStore:
             arr = np.load(path, mmap_mode="r")
             axes = {5: "TCZYX", 4: "TCYX", 3: "TYX", 2: "YX"}[arr.ndim]
             return cls(np.asarray(arr), axes)
+        if ext == ".czi":
+            from tissue_image_processing_tpu.io.czi import CziFile
+
+            with CziFile.open(path) as f:
+                return cls(f.read_whole(), "TCZYX")
         arr, axes, _ = read_whole_image(path)
         return cls(arr, axes)
+
+    @classmethod
+    def create(cls, path: str, shape, dtype=np.uint16) -> "MovieStore":
+        """Writable mmap-backed .npy store (the converter target — the
+        reference writes a dexp ZDataset, ``readwrite.py:19-69``)."""
+        if not path.endswith(".npy"):
+            path = path + ".npy"
+        arr = np.lib.format.open_memmap(path, mode="w+", dtype=dtype,
+                                        shape=tuple(shape))
+        store = cls.__new__(cls)
+        store.data = arr
+        return store
+
+    def write_frame(self, t: int, frame: np.ndarray):
+        """Write one (C, Z, Y, X) frame into a store opened with create()."""
+        self.data[t] = frame
 
     @property
     def shape(self):

@@ -102,13 +102,12 @@ def read_whole_image(path: str):
     if ext in (".tif", ".tiff"):
         arr, axes, shape, _ = read_tiff(path)
         return arr, axes, shape
-    if ext == ".czi":  # pragma: no cover - optional dependency
-        try:
-            from aicsimageio import AICSImage
-        except ImportError as e:
-            raise RuntimeError("CZI reading requires aicsimageio") from e
-        img = AICSImage(path)
-        return img.get_image_data(), "TCZYX", img.dims.shape
+    if ext == ".czi":
+        from tissue_image_processing_tpu.io.czi import CziFile
+
+        with CziFile.open(path) as f:
+            arr = f.read_whole()
+        return arr, "TCZYX", arr.shape
     raise ValueError(f"unsupported image container: {path}")
 
 
