@@ -88,6 +88,11 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true", help="256^2 x 8 smoke run")
     p.add_argument("--headline-only", action="store_true",
                    help="skip the per-config BASELINE.json suite")
+    p.add_argument("--config-budget", type=float, default=1500.0,
+                   help="wall-clock seconds for the config suite; remaining "
+                        "configs are skipped once exceeded (each compile via "
+                        "the dev tunnel costs minutes and is not cached "
+                        "across processes)")
     args = p.parse_args(argv)
     if args.quick:
         args.size, args.zdepth, args.frames, args.capacity = 256, 8, 4, 512
@@ -220,113 +225,137 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
     H = W = args.size
     configs = {}
     N_IT = 10
+    budget_t0 = time.time()
 
-    # --- config 1: 512^2 blur + threshold + watershed labeling
-    print("# config 1: 512^2 watershed ...", file=sys.stderr)
-    tiles = projs[:, :512, :512]
+    def over_budget(name):
+        if time.time() - budget_t0 > args.config_budget:
+            print(f"# config budget exceeded; skipping {name}", file=sys.stderr)
+            configs[name] = None
+            return True
+        return False
 
-    @jax.jit
-    def cfg1():
-        def step(i, acc):
-            lab = watershed_segmentation(tiles[i % T], 0.2, 3.0, 101)
-            return acc + lab[0, 0].astype(jnp.float32) * 1e-20
-        return jax.lax.fori_loop(0, N_IT, step, jnp.float32(0))
+    def run_cfg1():
+        # 512^2 blur + threshold + watershed labeling
+        tiles = projs[:, :512, :512]
 
-    configs["1_watershed_512"] = round(N_IT / _timed_loop(cfg1, N_IT), 2)
+        @jax.jit
+        def cfg1():
+            def step(i, acc):
+                lab = watershed_segmentation(tiles[i % T], 0.2, 3.0, 101)
+                return acc + lab[0, 0].astype(jnp.float32) * 1e-20
+            return jax.lax.fori_loop(0, N_IT, step, jnp.float32(0))
 
-    # --- config 2: 1024^2 x 30 surface projection
-    print("# config 2: projection ...", file=sys.stderr)
+        return round(N_IT / _timed_loop(cfg1, N_IT), 2)
 
-    @jax.jit
-    def cfg2():
-        def step(i, acc):
-            proj, _ = project_timepoint_auto(movie_dev[i % T],
-                                             reference_channel=0, airyscan=False)
-            return acc + proj[0, 0, 0] * 1e-20
-        return jax.lax.fori_loop(0, N_IT, step, jnp.float32(0))
+    def run_cfg2():
+        # 1024^2 x 30 surface projection
+        @jax.jit
+        def cfg2():
+            def step(i, acc):
+                proj, _ = project_timepoint_auto(
+                    movie_dev[i % T], reference_channel=0, airyscan=False)
+                return acc + proj[0, 0, 0] * 1e-20
+            return jax.lax.fori_loop(0, N_IT, step, jnp.float32(0))
 
-    configs["2_projection_fps"] = round(N_IT / _timed_loop(cfg2, N_IT), 2)
+        return round(N_IT / _timed_loop(cfg2, N_IT), 2)
 
-    # --- config 3: U-Net inference on 8 projected frames (1024^2, 2ch, bf16)
-    print("# config 3: U-Net inference ...", file=sys.stderr)
     from tissue_image_processing_tpu.models.unet import UNet, build_unet
     model = UNet(depth=3, base_filters=128, dtype=jnp.bfloat16)
     _, variables = build_unet((H, W, 2), depth=3, base_filters=128,
                               dtype=jnp.bfloat16)
-    x1 = jnp.stack([projs[0] / jnp.maximum(projs[0].max(), 1.0)] * 2, axis=-1)
 
-    @jax.jit
-    def cfg3():
-        def step(i, acc):
-            x = x1 + acc * 1e-30
-            pred = model.apply(variables, x[None], train=False)
-            return acc + pred[0, 0, 0, 0].astype(jnp.float32) * 1e-20
-        return jax.lax.fori_loop(0, 8, step, jnp.float32(0))
+    def run_cfg3():
+        # U-Net inference on 8 projected frames (1024^2, 2ch, bf16)
+        x1 = jnp.stack([projs[0] / jnp.maximum(projs[0].max(), 1.0)] * 2,
+                       axis=-1)
 
-    configs["3_unet_inference_fps"] = round(8 / _timed_loop(cfg3, 8), 2)
+        @jax.jit
+        def cfg3():
+            def step(i, acc):
+                x = x1 + acc * 1e-30
+                pred = model.apply(variables, x[None], train=False)
+                return acc + pred[0, 0, 0, 0].astype(jnp.float32) * 1e-20
+            return jax.lax.fori_loop(0, 8, step, jnp.float32(0))
 
-    # --- config 4: 100-frame time-lapse watershed + tracking
-    print("# config 4: 100-frame track ...", file=sys.stderr)
-    T100 = 100
-    reps = -(-T100 // T)
-    frames100 = jnp.concatenate([
-        jnp.stack([jnp.roll(projs[t], (3 * r, -2 * r), (0, 1))
-                   for t in range(T)]) for r in range(reps)])[:T100]
+        return round(8 / _timed_loop(cfg3, 8), 2)
 
-    @jax.jit
-    def cfg4():
-        def per_frame(p):
-            lab = watershed_segmentation(p, 0.2, 3.0, 101)
-            tb = frame_cellinfo(lab, capacity=cap)
-            return tb.cy, tb.cx, tb.area, tb.valid_mask()
-        cys, cxs, areas, masks = jax.lax.map(per_frame, frames100)
-        drifts = compute_drift_chain(frames100)
-        return track_movie(cys, cxs, areas, masks, drifts=drifts,
-                           capacity=4 * cap)
+    def run_cfg4():
+        # 100-frame time-lapse watershed + tracking
+        T100 = 100
+        reps = -(-T100 // T)
+        frames100 = jnp.concatenate([
+            jnp.stack([jnp.roll(projs[t], (3 * r, -2 * r), (0, 1))
+                       for t in range(T)]) for r in range(reps)])[:T100]
 
-    configs["4_track100_fps"] = round(T100 / _timed_loop(cfg4, 1), 2)
+        @jax.jit
+        def cfg4():
+            def per_frame(p):
+                lab = watershed_segmentation(p, 0.2, 3.0, 101)
+                tb = frame_cellinfo(lab, capacity=cap)
+                return tb.cy, tb.cx, tb.area, tb.valid_mask()
+            cys, cxs, areas, masks = jax.lax.map(per_frame, frames100)
+            drifts = compute_drift_chain(frames100)
+            return track_movie(cys, cxs, areas, masks, drifts=drifts,
+                               capacity=4 * cap)
 
-    # --- config 5: full 4-D movie: proj -> UNet -> watershed -> track ->
-    #     statistics + export (host .npz write included in the wall time)
-    print("# config 5: full 4-D movie ...", file=sys.stderr)
-    from tissue_image_processing_tpu.models.predictor import unet_postprocess
-    from tissue_image_processing_tpu.ops.brightness import normalize_channel
+        return round(T100 / _timed_loop(cfg4, 1), 2)
 
-    @jax.jit
-    def cfg5_program():
-        def per_frame(stack):
-            proj, _ = project_timepoint_auto(stack, reference_channel=0,
-                                             airyscan=False)
-            norm = jax.vmap(normalize_channel)(proj)
-            x = jnp.transpose(norm, (2, 1, 0)).astype(jnp.bfloat16)  # x-major
-            pred = model.apply(variables, x[None], train=False)[0]
-            labels, hc = unet_postprocess(pred.astype(jnp.float32))
-            tb = frame_cellinfo(labels, capacity=cap)
-            return (proj[0], tb.cy, tb.cx, tb.area, tb.valid_mask(),
-                    tb.n_neighbors)
-        prj, cys, cxs, areas, masks, nn = jax.lax.map(per_frame, movie_dev)
-        drifts = compute_drift_chain(prj)
-        ids = track_movie(cys, cxs, areas, masks, drifts=drifts,
-                          capacity=2 * cap)
-        n_valid = masks.sum(1)
-        stats = {"mean_area": (areas * masks).sum(1) / jnp.maximum(n_valid, 1),
-                 "density": n_valid / float(H * W),
-                 "mean_neighbors": (nn * masks).sum(1) / jnp.maximum(n_valid, 1)}
-        return ids, cys, cxs, areas, stats
+    def run_cfg5():
+        # full 4-D movie: proj -> UNet -> watershed -> track -> statistics +
+        # export (host .npz write included in the wall time)
+        from tissue_image_processing_tpu.models.predictor import unet_postprocess
+        from tissue_image_processing_tpu.ops.brightness import normalize_channel
 
-    import tempfile
+        @jax.jit
+        def cfg5_program():
+            def per_frame(stack):
+                proj, _ = project_timepoint_auto(stack, reference_channel=0,
+                                                 airyscan=False)
+                norm = jax.vmap(normalize_channel)(proj)
+                x = jnp.transpose(norm, (2, 1, 0)).astype(jnp.bfloat16)
+                pred = model.apply(variables, x[None], train=False)[0]
+                labels, hc = unet_postprocess(pred.astype(jnp.float32))
+                tb = frame_cellinfo(labels, capacity=cap)
+                return (proj[0], tb.cy, tb.cx, tb.area, tb.valid_mask(),
+                        tb.n_neighbors)
+            prj, cys, cxs, areas, masks, nn = jax.lax.map(per_frame, movie_dev)
+            drifts = compute_drift_chain(prj)
+            ids = track_movie(cys, cxs, areas, masks, drifts=drifts,
+                              capacity=2 * cap)
+            n_valid = masks.sum(1)
+            stats = {"mean_area": (areas * masks).sum(1) / jnp.maximum(n_valid, 1),
+                     "density": n_valid / float(H * W),
+                     "mean_neighbors": (nn * masks).sum(1) / jnp.maximum(n_valid, 1)}
+            return ids, cys, cxs, areas, stats
 
-    def cfg5():
-        out = cfg5_program()
-        ids5, cy5, cx5, ar5, st5 = jax.tree_util.tree_map(np.asarray, out)
-        with tempfile.NamedTemporaryFile(suffix=".npz", delete=True) as f:
-            np.savez(f, ids=ids5, cy=cy5, cx=cx5, area=ar5, **st5)
-        return ids5
+        import tempfile
 
-    cfg5()  # warm
-    t0 = time.time()
-    cfg5()
-    configs["5_full_movie_fps"] = round(T / (time.time() - t0), 2)
+        def cfg5():
+            out = cfg5_program()
+            ids5, cy5, cx5, ar5, st5 = jax.tree_util.tree_map(np.asarray, out)
+            with tempfile.NamedTemporaryFile(suffix=".npz", delete=True) as f:
+                np.savez(f, ids=ids5, cy=cy5, cx=cx5, area=ar5, **st5)
+            return ids5
+
+        cfg5()  # warm
+        t0 = time.time()
+        cfg5()
+        return round(T / (time.time() - t0), 2)
+
+    for name, fn in [("1_watershed_512", run_cfg1),
+                     ("2_projection_fps", run_cfg2),
+                     ("3_unet_inference_fps", run_cfg3),
+                     ("4_track100_fps", run_cfg4),
+                     ("5_full_movie_fps", run_cfg5)]:
+        if over_budget(name):
+            continue
+        print(f"# config {name} ...", file=sys.stderr)
+        try:
+            configs[name] = fn()
+        except Exception as e:
+            print(f"# config {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            configs[name] = f"error: {type(e).__name__}"
 
     # --- accuracy: Dice vs the native Meyer flood oracle at bench size
     print("# accuracy: Dice vs native oracle ...", file=sys.stderr)
@@ -337,9 +366,9 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         if native_available():
             from tissue_image_processing_tpu.ops.filters import gaussian_blur
             from tissue_image_processing_tpu.ops.local_threshold import (
-                local_threshold)
-            surf = np.asarray(jax.jit(lambda p: gaussian_blur(
-                local_threshold(p, 0.2, 101).astype(jnp.float32), 3.0))(projs[0]))
+                threshold_local_max)
+            surf = np.asarray(jax.jit(lambda p: gaussian_blur(jnp.where(
+                p < 0.2 * threshold_local_max(p, 101), 0.0, p), 3.0))(projs[0]))
             ours = np.asarray(jax.jit(lambda p: watershed_segmentation(
                 p, 0.2, 3.0, 101))(projs[0]))
             want = meyer_watershed_native(surf.astype(np.float32))

@@ -295,3 +295,30 @@ def test_out_of_core_save_load_roundtrip(tmp_path):
         assert sum(x is not None for x in fresh._labels) <= 1
     fresh.clean_up()
     t.clean_up()
+
+
+def test_legacy_types_map_migration(tmp_path):
+    t = Tissue(1, os.path.join(str(tmp_path), "legacy.tif"), channel_names=[],
+               capacity=8, use_working_dir=True)
+    # pre-bitmask encoding: 0=invalid, 1=HC, 2=SC (tissue_info.py:4216-4228)
+    old = np.array([[0, 1], [2, 1]], np.uint8)
+    np.save(t._artifact_path("types", 0), old)
+    got = t.get_cell_types(1)
+    np.testing.assert_array_equal(got, np.array([[255, 1], [0, 1]], np.uint8))
+    t.clean_up()
+
+
+def test_legacy_h5_neighbor_string_parsing(monkeypatch):
+    """_read_legacy_h5 parses the h5-era string-encoded neighbor sets
+    (tissue_info.py:3507-3517); pd.read_hdf is stubbed since pytables-backed
+    fixtures cannot be written in this environment."""
+    import pandas as pd
+    from tissue_image_processing_tpu.core.tissue import Tissue
+
+    fixture = pd.DataFrame({
+        "neighbors": ["set()", "{np.int64(3), np.int64(7)}", "{1, 2}", {4}],
+        "type": [0, 1, 0, 1],
+    })
+    monkeypatch.setattr(pd, "read_hdf", lambda path, key: fixture.copy())
+    df = Tissue._read_legacy_h5("whatever.h5")
+    assert df["neighbors"].tolist() == [set(), {3, 7}, {1, 2}, {4}]

@@ -157,16 +157,46 @@ class Tissue:
 
     def _read_artifact(self, kind: str, i: int):
         path = self._artifact_path(kind, i)
-        if not os.path.isfile(path):
-            return None
         if kind == "data":
-            df = pd.read_pickle(path)
+            if os.path.isfile(path):
+                df = pd.read_pickle(path)
+            elif os.path.isfile(path.replace("pkl", "h5")):
+                # h5-era frame data (reference tissue_info.py:3507-3517):
+                # string-encoded neighbor sets, pandas HDF store
+                df = self._read_legacy_h5(path.replace("pkl", "h5"))
+            else:
+                return None
             if len(df) and isinstance(df["type"].iloc[0], str):
                 # legacy single-type format (reference tissue_info.py:4221-4223)
                 df = df.replace({"HC": 1, "SC": 0, "invalid": 0})
             return CellTable.from_pandas(df, capacity=self.capacity,
                                          max_neighbors=self.max_neighbors)
-        return np.load(path)
+        if not os.path.isfile(path):
+            return None
+        arr = np.load(path)
+        if kind == "types" and arr.size and 0 <= arr.min() and arr.max() <= 2:
+            # pre-bitmask cell-types map (reference tissue_info.py:4216-4228):
+            # 0 = invalid -> 255, 2 -> 0, 1 stays bit0
+            arr = arr.copy()
+            arr[arr == 0] = 255
+            arr[arr == 2] = 0
+        return arr
+
+    @staticmethod
+    def _read_legacy_h5(path: str) -> pd.DataFrame:
+        df = pd.read_hdf(path, key="df")  # needs pytables; clear error if absent
+
+        def parse_neighbors(x):
+            if not isinstance(x, str):
+                return x
+            if x == "set()":
+                return set()
+            return ast.literal_eval(
+                x.replace("np.int64(", "").replace(")", ""))
+
+        if "neighbors" in df.columns:
+            df["neighbors"] = df["neighbors"].apply(parse_neighbors)
+        return df
 
     def _swap_to(self, kind: str, i: int):
         """Make frame ``i`` the (single) in-memory frame for ``kind``:
