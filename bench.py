@@ -85,6 +85,9 @@ def main(argv=None):
     p.add_argument("--zdepth", type=int, default=30)
     p.add_argument("--capacity", type=int, default=1024)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--repeats", type=int, default=4,
+                   help="movie passes per dispatch (amortizes the dev-tunnel "
+                        "fixed overhead; each pass re-processes all frames)")
     p.add_argument("--quick", action="store_true", help="256^2 x 8 smoke run")
     p.add_argument("--headline-only", action="store_true",
                    help="skip the per-config BASELINE.json suite")
@@ -133,9 +136,14 @@ def main(argv=None):
 
     # the WHOLE movie pass is one device program: per-program dispatch through
     # the dev tunnel costs ~100+ ms and does not overlap, so a 6-program chain
-    # (4 batches + concat + track) spent ~1 s idle between kernels
-    @jax.jit
-    def full_program(movie):
+    # (4 batches + concat + track) spent ~1 s idle between kernels. The movie
+    # pass additionally repeats R times INSIDE the program (data-chained so XLA
+    # cannot collapse the repeats): composed per-frame device cost is ~29 ms,
+    # so a single 8-frame dispatch would spend ~50% of wall time in fixed
+    # tunnel/dispatch overhead that real hardware does not have.
+    R = args.repeats
+
+    def movie_pass(movie):
         if B == 1:
             # vmap-of-pallas runs sequentially anyway and the batching layer adds
             # ~50% per frame; plain lax.map is the fast path
@@ -151,6 +159,17 @@ def main(argv=None):
         ids = track_movie(cys, cxs, areas, masks, drifts=drifts, capacity=2 * cap)
         return ids, projs, (cys, cxs, areas, masks, drifts)
 
+    @jax.jit
+    def full_program(movie):
+        def rep(i, carry):
+            ids_prev = carry[0]
+            pert = (ids_prev[0, 0] * 0).astype(movie.dtype)
+            return movie_pass(movie + pert)
+        out0 = movie_pass(movie)
+        if R > 1:
+            return jax.lax.fori_loop(1, R, rep, out0)
+        return out0
+
     def full_pass():
         return full_program(movie_dev)
 
@@ -164,7 +183,7 @@ def main(argv=None):
     ids, projs, track_data = full_pass()
     ids_np = np.asarray(ids)  # single small host read = sync point
     elapsed = time.time() - t0
-    fps = T / elapsed
+    fps = T * R / elapsed
 
     n_cells = int((ids_np > 0).sum(1).mean())
     cont = []
@@ -172,7 +191,7 @@ def main(argv=None):
         a = set(ids_np[t][ids_np[t] > 0].tolist())
         b = set(ids_np[t + 1][ids_np[t + 1] > 0].tolist())
         cont.append(len(a & b) / max(len(a), 1))
-    print(f"# {T} frames in {elapsed:.2f}s; ~{n_cells} cells/frame; "
+    print(f"# {T}x{R} frames in {elapsed:.2f}s; ~{n_cells} cells/frame; "
           f"track continuity {np.mean(cont):.3f}", file=sys.stderr)
 
     result = {

@@ -158,3 +158,27 @@ def test_pipeline_config_json_roundtrip_and_cli_threading(tmp_path):
     # track flags resolve from tracking config
     args3 = _apply_config(build_parser().parse_args(["track", "m.tif"]))
     assert args3.search_range == 100.0 and args3.memory == 3
+
+
+def test_stage_metrics_records_and_emits(tmp_path):
+    import io
+    import json as _json
+    from tissue_image_processing_tpu.utils.runtime import StageMetrics
+
+    buf = io.StringIO()
+    m = StageMetrics(stream=buf, run="r1")
+    with m.stage("project", position=1, movie=2):
+        pass
+    m.emit("skip_existing", position=2)
+    lines = [_json.loads(l) for l in buf.getvalue().splitlines()]
+    assert lines[0]["event"] == "stage" and lines[0]["stage"] == "project"
+    assert lines[0]["run"] == "r1" and lines[0]["position"] == 1
+    assert "seconds" in lines[0]
+    assert lines[1]["event"] == "skip_existing"
+    assert "project" in m.summary()
+    # errors are recorded and re-raised
+    import pytest
+    with pytest.raises(ValueError):
+        with m.stage("boom"):
+            raise ValueError("x")
+    assert any(r["event"] == "stage_error" for r in m.records)

@@ -166,3 +166,27 @@ def test_napari_layer_specs_without_napari(tmp_path):
         from tissue_image_processing_tpu.viz.napari_viewer import TissueViewer
         with pytest.raises(ImportError):
             TissueViewer(t)
+
+
+def test_save_figure_with_data(tmp_path):
+    import os
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+    import pandas as pd
+    from tissue_image_processing_tpu.core.plotting import save_figure_with_data
+
+    fig, ax = plt.subplots()
+    df = pd.DataFrame({"frame": [1, 2], "area": [10.0, 11.0]})
+    ax.plot(df["frame"], df["area"])
+    p = os.path.join(str(tmp_path), "plot.png")
+    data_path = save_figure_with_data(fig, p, df)
+    assert os.path.isfile(p) and data_path.endswith("_data.csv")
+    back = pd.read_csv(data_path, index_col=0)
+    assert back["area"].tolist() == [10.0, 11.0]
+    # dict -> pickle
+    d2 = save_figure_with_data(fig, os.path.join(str(tmp_path), "p2.png"),
+                               {"k": 1})
+    assert d2.endswith("_data.pkl")
+    plt.close(fig)

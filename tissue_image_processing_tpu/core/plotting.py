@@ -197,3 +197,51 @@ def plot_spatial_map(tissue, frame: int, feature: str, window_radius: float,
     im = ax.imshow(masked, cmap=palette, vmin=vmin, vmax=vmax)
     ax.figure.colorbar(im, ax=ax)
     return m, ""
+
+
+def save_figure_with_data(fig, path: str, data=None, data_format: str = "auto"):
+    """Save a figure AND its underlying data next to it — the library
+    counterpart of the reference's plot-window save toolbar, which pickles or
+    CSVs the plotted DataFrame alongside the image (``gui.py:62-91``).
+
+    ``data``: DataFrame / ndarray / dict. ``data_format``: "csv", "pickle", or
+    "auto" (csv for DataFrame/ndarray, pickle for dict). Returns the data path
+    (or None when no data was given).
+    """
+    import os
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    fig.savefig(path)
+    if data is None:
+        return None
+    base = os.path.splitext(path)[0]
+    fmt = data_format
+    if fmt == "auto":
+        fmt = "pickle" if isinstance(data, dict) else "csv"
+    if fmt == "csv":
+        data_path = base + "_data.csv"
+        if isinstance(data, pd.DataFrame):
+            data.to_csv(data_path)
+        elif isinstance(data, np.ndarray):
+            pd.DataFrame(data).to_csv(data_path)
+        else:
+            with open(data_path, "w") as f:
+                import csv
+                w = csv.writer(f)
+                for k, v in data.items():
+                    w.writerow([k, v])
+    else:
+        if isinstance(data, pd.DataFrame):
+            data_path = base + "_data.pkl"
+            data.to_pickle(data_path)
+        elif isinstance(data, np.ndarray):
+            data_path = base + "_data.npy"
+            np.save(data_path, data)
+        else:
+            data_path = base + "_data.pkl"
+            with open(data_path, "wb") as f:
+                pickle.dump(data, f)
+    return data_path

@@ -73,14 +73,21 @@ def movie_surface_projection(
     airyscan: bool = False,
     output_name: str = "",
     batch: int = 4,
+    metrics=None,
 ) -> None:
     """Project a list of movie files (one position each, or TCZYX stores) into
     per-position projection TIFFs + z-map sidecars (reference
     ``movie_surface_projection``, ``surface_projection.py:168-237``).
 
     Resumable: per-(position, movie) .npy intermediates already on disk are skipped
-    (reference ``:199-200``).
+    (reference ``:199-200``). ``metrics``: optional
+    :class:`~tissue_image_processing_tpu.utils.runtime.StageMetrics` — every
+    (position, movie) projection and every concat/save emits a structured
+    JSON line (SURVEY §5.5).
     """
+    from tissue_image_processing_tpu.utils.runtime import StageMetrics
+
+    metrics = metrics or StageMetrics(stream=None)
     positions = list(range(initial_positions_number))
     projection_files: List[List[str]] = [[] for _ in range(initial_positions_number)]
     zmap_files: List[List[str]] = [[] for _ in range(initial_positions_number)]
@@ -100,14 +107,18 @@ def movie_surface_projection(
             print("Projecting position %d, movie %d" % (position + 1, file_num + 1),
                   flush=True)
             if os.path.isfile(projection_path) and os.path.isfile(zmap_path):
+                metrics.emit("skip_existing", position=position + 1,
+                             movie=file_num + 1)
                 continue
-            store = MovieStore.open(file)
-            proj, zmap = project_movie_array(
-                store.data, reference_channel=reference_channel, method=method,
-                bin_size=bin_size, build_manifold=build_manifold, min_z=zmin,
-                max_z=zmax, airyscan=airyscan, batch=batch)
-            np.save(projection_path, proj)
-            np.save(zmap_path, zmap.astype(np.uint16))
+            with metrics.stage("project", position=position + 1,
+                               movie=file_num + 1, file=os.path.basename(file)):
+                store = MovieStore.open(file)
+                proj, zmap = project_movie_array(
+                    store.data, reference_channel=reference_channel, method=method,
+                    bin_size=bin_size, build_manifold=build_manifold, min_z=zmin,
+                    max_z=zmax, airyscan=airyscan, batch=batch)
+                np.save(projection_path, proj)
+                np.save(zmap_path, zmap.astype(np.uint16))
         for to_delete in remove_positions:
             positions.remove(to_delete)
 
@@ -116,13 +127,14 @@ def movie_surface_projection(
             continue
         if not projection_files[position]:
             continue
-        movie_projection = concatenate_time_points(projection_files[position])
-        save_tiff(os.path.join(output_dir, output_name + "position%d.tif" % (position + 1)),
-                  movie_projection, axes="TCYX", data_type="uint16")
-        movie_zmap = np.concatenate(
-            [np.load(f).astype("uint16") for f in zmap_files[position]], axis=0)
-        np.save(os.path.join(output_dir, output_name + "zmap_position%d.npy" % (position + 1)),
-                movie_zmap)
+        with metrics.stage("concat_save", position=position + 1):
+            movie_projection = concatenate_time_points(projection_files[position])
+            save_tiff(os.path.join(output_dir, output_name + "position%d.tif" % (position + 1)),
+                      movie_projection, axes="TCYX", data_type="uint16")
+            movie_zmap = np.concatenate(
+                [np.load(f).astype("uint16") for f in zmap_files[position]], axis=0)
+            np.save(os.path.join(output_dir, output_name + "zmap_position%d.npy" % (position + 1)),
+                    movie_zmap)
     # cleanup intermediates (reference surface_projection.py:235-237)
     for position_files in projection_files + zmap_files:
         for f in position_files:

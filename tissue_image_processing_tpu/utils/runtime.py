@@ -12,7 +12,7 @@ import contextlib
 import os
 import time
 
-__all__ = ["enable_compilation_cache", "trace", "Timer"]
+__all__ = ["enable_compilation_cache", "trace", "Timer", "StageMetrics"]
 
 
 def enable_compilation_cache(path: str = None) -> None:
@@ -58,3 +58,47 @@ class Timer:
 
     def report(self) -> str:
         return ", ".join(f"{k}={v * 1000:.0f}ms" for k, v in self.stages.items())
+
+
+class StageMetrics:
+    """Structured per-stage metrics for pipeline drivers (SURVEY §5.5: the
+    reference only has prints; here every driver stage emits one JSON line —
+    ``{"event": ..., "stage": ..., "seconds": ..., **fields}`` — to a stream
+    and keeps an in-memory record, so batch runs are machine-parseable).
+    """
+
+    def __init__(self, stream=None, run: str = ""):
+        import sys
+
+        self.stream = stream if stream is not None else sys.stderr
+        self.run = run
+        self.records = []
+
+    def emit(self, event: str, **fields):
+        import json
+
+        rec = {"event": event, **({"run": self.run} if self.run else {}),
+               **fields}
+        self.records.append(rec)
+        if self.stream:
+            print(json.dumps(rec), file=self.stream, flush=True)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, **fields):
+        t0 = time.time()
+        try:
+            yield
+        except Exception as e:
+            self.emit("stage_error", stage=name,
+                      seconds=round(time.time() - t0, 4),
+                      error=f"{type(e).__name__}: {e}", **fields)
+            raise
+        self.emit("stage", stage=name, seconds=round(time.time() - t0, 4),
+                  **fields)
+
+    def summary(self) -> dict:
+        out = {}
+        for r in self.records:
+            if r.get("event") == "stage":
+                out[r["stage"]] = out.get(r["stage"], 0.0) + r["seconds"]
+        return out
