@@ -116,135 +116,38 @@ def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray) -> jnp.ndarray:
     )(img.astype(jnp.float32), lam0)
 
 
-def _row_run_min(vals, mask, INF, width):
-    """Per-row run minimum: out[r, i] = min of vals over the maximal contiguous
-    masked run containing column i (INF where unmasked).
-
-    Segmented scan by doubling: (val_k, open_k) where val_k(i) = min over
-    [max(run_start(i), i - 2^k + 1), i] and open_k(i) = the whole 2^k window is
-    masked. log2(width) steps of pure lane shifts — propagates a full run per
-    call where a Jacobi sweep moves one pixel."""
-    rows = vals.shape[0]
-
-    # openness travels as int32 0/1: Mosaic cannot concatenate i1 vectors
-    def one_dir(flip):
-        v = jnp.where(mask, vals, INF)
-        o = mask.astype(jnp.int32)
-        s = 1
-        while s < width:
-            if flip:  # suffix direction: read from the right
-                sv = jnp.concatenate([v[:, s:], jnp.full((rows, s), INF, v.dtype)], 1)
-                so = jnp.concatenate([o[:, s:], jnp.zeros((rows, s), jnp.int32)], 1)
-            else:
-                sv = jnp.concatenate([jnp.full((rows, s), INF, v.dtype), v[:, :-s]], 1)
-                so = jnp.concatenate([jnp.zeros((rows, s), jnp.int32), o[:, :-s]], 1)
-            v = jnp.where(o > 0, jnp.minimum(v, sv), v)
-            o = o * so
-            s *= 2
-        return v
-
-    return jnp.minimum(one_dir(False), one_dir(True))
-
-
-def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, va_ref, vb_ref, oa_ref, ob_ref):
-    """Min-index propagation over a mask via segmented run-min doubling scans.
-
-    Connected components by min-diffusion is a schedule-independent fixpoint
-    (the component minimum), so instead of 1-pixel Jacobi sweeps (~110 sweeps on
-    real content: plateau chains wind across the frame) each pass resolves every
-    horizontal and vertical run in log2(size) doubling steps; alternating
-    row/column passes converge in ~#turns of the winding component.
-    All state stays in VMEM; scratch va/vb + oa/ob are the vertical ping-pong."""
+def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref):
+    del lbl_in_ref  # aliased with lbl_ref
+    """Min-index diffusion over a mask: connected components by propagation, all in
+    VMEM (pointer jumping needs big gathers, which run at ~300 MB/s on this TPU —
+    plateau diameters here are cell-sized, so diffusion sweeps win)."""
     H, W = mask_ref.shape
     n_blocks = H // _BLOCK
     INF = jnp.int32(H * W)
-    # copy-in (no-op when the runtime honors the input/output alias; makes
-    # interpret mode correct when it does not pre-fill aliased outputs)
-    for b in range(n_blocks):
-        r0 = b * _BLOCK
-        lbl_ref[pl.ds(r0, _BLOCK), :] = lbl_in_ref[pl.ds(r0, _BLOCK), :]
 
-    def one_pass(carry):
+    def sweep(carry):
         _, it = carry
+        for b in range(n_blocks):
+            halo_ref[2 * b, :] = lbl_ref[b * _BLOCK, :]
+            halo_ref[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
         changed = jnp.bool_(False)
-        # --- horizontal: rows are independent; per block in registers
         for b in range(n_blocks):
             r0 = b * _BLOCK
             lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
-            m = mask_ref[pl.ds(r0, _BLOCK), :] > 0
-            new = _row_run_min(lbl, m, INF, W)
-            new = jnp.where(m, jnp.minimum(lbl, new), INF)
+            mask = mask_ref[pl.ds(r0, _BLOCK), :] > 0
+            up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), INF)
+            dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), INF)
+            cand = jnp.minimum(
+                jnp.minimum(_shift_rows(lbl, True, up_edge),
+                            _shift_rows(lbl, False, dn_edge)),
+                jnp.minimum(_shift_cols(lbl, True, INF),
+                            _shift_cols(lbl, False, INF)))
+            new = jnp.where(mask, jnp.minimum(lbl, cand), INF)
             changed = changed | jnp.any(new < lbl)
             lbl_ref[pl.ds(r0, _BLOCK), :] = new
-        # --- vertical: doubling over rows with ping-pong (reads straddle blocks)
-        for b in range(n_blocks):
-            r0 = b * _BLOCK
-            m = mask_ref[pl.ds(r0, _BLOCK), :] > 0
-            va_ref[pl.ds(r0, _BLOCK), :] = jnp.where(
-                m, lbl_ref[pl.ds(r0, _BLOCK), :], INF)
-            oa_ref[pl.ds(r0, _BLOCK), :] = m.astype(jnp.int32)
-        for flip in (False, True):
-            # (re)load direction input into A
-            if flip:
-                for b in range(n_blocks):
-                    r0 = b * _BLOCK
-                    m = mask_ref[pl.ds(r0, _BLOCK), :] > 0
-                    va_ref[pl.ds(r0, _BLOCK), :] = jnp.where(
-                        m, lbl_ref[pl.ds(r0, _BLOCK), :], INF)
-                    oa_ref[pl.ds(r0, _BLOCK), :] = m.astype(jnp.int32)
-            s = 1
-            src_v, src_o, dst_v, dst_o = va_ref, oa_ref, vb_ref, ob_ref
-            while s < H:
-                for b in range(n_blocks):
-                    r0 = b * _BLOCK
-                    v = src_v[pl.ds(r0, _BLOCK), :]
-                    o = src_o[pl.ds(r0, _BLOCK), :]
-                    if not flip:  # read rows r0+i-s
-                        if r0 - s >= 0:
-                            sv = src_v[pl.ds(r0 - s, _BLOCK), :]
-                            so = src_o[pl.ds(r0 - s, _BLOCK), :]
-                        elif r0 + _BLOCK - s <= 0:
-                            sv = jnp.full((_BLOCK, W), INF, jnp.int32)
-                            so = jnp.zeros((_BLOCK, W), jnp.int32)
-                        else:
-                            i0 = s - r0
-                            t_v = src_v[pl.ds(0, _BLOCK), :]
-                            t_o = src_o[pl.ds(0, _BLOCK), :]
-                            sv = jnp.concatenate(
-                                [jnp.full((i0, W), INF, jnp.int32), t_v[:_BLOCK - i0]], 0)
-                            so = jnp.concatenate(
-                                [jnp.zeros((i0, W), jnp.int32), t_o[:_BLOCK - i0]], 0)
-                    else:  # read rows r0+i+s
-                        if r0 + s + _BLOCK <= H:
-                            sv = src_v[pl.ds(r0 + s, _BLOCK), :]
-                            so = src_o[pl.ds(r0 + s, _BLOCK), :]
-                        elif r0 + s >= H:
-                            sv = jnp.full((_BLOCK, W), INF, jnp.int32)
-                            so = jnp.zeros((_BLOCK, W), jnp.int32)
-                        else:
-                            i0 = r0 + s + _BLOCK - H  # rows past the end
-                            t_v = src_v[pl.ds(H - _BLOCK, _BLOCK), :]
-                            t_o = src_o[pl.ds(H - _BLOCK, _BLOCK), :]
-                            k0 = _BLOCK - i0  # t rows start at H-_BLOCK; want r0+s+i
-                            sv = jnp.concatenate(
-                                [t_v[_BLOCK - k0:], jnp.full((i0, W), INF, jnp.int32)], 0)
-                            so = jnp.concatenate(
-                                [t_o[_BLOCK - k0:], jnp.zeros((i0, W), jnp.int32)], 0)
-                    nv = jnp.where(o > 0, jnp.minimum(v, sv), v)
-                    dst_v[pl.ds(r0, _BLOCK), :] = nv
-                    dst_o[pl.ds(r0, _BLOCK), :] = o * so
-                src_v, src_o, dst_v, dst_o = dst_v, dst_o, src_v, src_o
-                s *= 2
-            for b in range(n_blocks):
-                r0 = b * _BLOCK
-                lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
-                m = mask_ref[pl.ds(r0, _BLOCK), :] > 0
-                new = jnp.where(m, jnp.minimum(lbl, src_v[pl.ds(r0, _BLOCK), :]), INF)
-                changed = changed | jnp.any(new < lbl)
-                lbl_ref[pl.ds(r0, _BLOCK), :] = new
         return changed, it + 1
 
-    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), one_pass,
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep,
                        (jnp.bool_(True), jnp.int32(0)))
 
 
@@ -268,10 +171,7 @@ def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((H, W), jnp.int32),
-                        pltpu.VMEM((H, W), jnp.int32),
-                        pltpu.VMEM((H, W), jnp.int32),
-                        pltpu.VMEM((H, W), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32)],
         input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(mask.astype(jnp.int32), lbl0)
