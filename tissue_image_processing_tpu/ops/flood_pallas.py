@@ -36,6 +36,13 @@ __all__ = ["bf_flood_pallas", "settle_pallas", "cc_diffusion_pallas",
 
 _BLOCK = 64
 _MAX_SWEEPS = 4096
+# Sweeps per while_loop iteration. The elementwise work of a sweep is ~0.01 ms;
+# the measured ~0.07 ms/sweep came from the per-block jnp.any convergence
+# reductions + loop-condition sync. These are monotone fixpoint iterations, so
+# "the LAST sweep of a batch changed nothing" proves convergence — batches run
+# reduction-free and only the final sweep computes `changed` (at most
+# _SWEEP_BATCH-1 wasted no-op sweeps at the end).
+_SWEEP_BATCH = 8
 # v5e/v4 have far more physical VMEM than Mosaic's 16 MB default scoped limit. At
 # the 2048^2 cap the settle kernel holds lam+lbl+t state (48 MB) + halo snapshots
 # + per-block temporaries ~= 60 MB; 112 MB leaves headroom under the 128 MB core.
@@ -72,30 +79,33 @@ def _bf_kernel(img_ref, lam_in_ref, lam_ref, halo_ref):
     n_blocks = H // _BLOCK
     inf = jnp.float32(jnp.inf)
 
-    def sweep(carry):
+    def sweep_batch(carry):
         _, it = carry
-        # snapshot block-boundary halo rows (pre-sweep state) for Jacobi semantics
-        for b in range(n_blocks):
-            halo_ref[2 * b, :] = lam_ref[b * _BLOCK, :]
-            halo_ref[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
         changed = jnp.bool_(False)
-        for b in range(n_blocks):
-            r0 = b * _BLOCK
-            lam = lam_ref[pl.ds(r0, _BLOCK), :]
-            img = img_ref[pl.ds(r0, _BLOCK), :]
-            up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), inf)
-            dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), inf)
-            cand = jnp.minimum(
-                jnp.minimum(_shift_rows(lam, True, up_edge),
-                            _shift_rows(lam, False, dn_edge)),
-                jnp.minimum(_shift_cols(lam, True, inf),
-                            _shift_cols(lam, False, inf)))
-            new = jnp.minimum(lam, jnp.maximum(cand, img))
-            changed = changed | jnp.any(new < lam)
-            lam_ref[pl.ds(r0, _BLOCK), :] = new
-        return changed, it + 1
+        for s in range(_SWEEP_BATCH):
+            last = s == _SWEEP_BATCH - 1
+            # snapshot block-boundary halo rows (pre-sweep) for Jacobi semantics
+            for b in range(n_blocks):
+                halo_ref[2 * b, :] = lam_ref[b * _BLOCK, :]
+                halo_ref[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
+            for b in range(n_blocks):
+                r0 = b * _BLOCK
+                lam = lam_ref[pl.ds(r0, _BLOCK), :]
+                img = img_ref[pl.ds(r0, _BLOCK), :]
+                up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), inf)
+                dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), inf)
+                cand = jnp.minimum(
+                    jnp.minimum(_shift_rows(lam, True, up_edge),
+                                _shift_rows(lam, False, dn_edge)),
+                    jnp.minimum(_shift_cols(lam, True, inf),
+                                _shift_cols(lam, False, inf)))
+                new = jnp.minimum(lam, jnp.maximum(cand, img))
+                if last:
+                    changed = changed | jnp.any(new < lam)
+                lam_ref[pl.ds(r0, _BLOCK), :] = new
+        return changed, it + _SWEEP_BATCH
 
-    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep,
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
                        (jnp.bool_(True), jnp.int32(0)))
 
 
@@ -125,29 +135,32 @@ def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref):
     n_blocks = H // _BLOCK
     INF = jnp.int32(H * W)
 
-    def sweep(carry):
+    def sweep_batch(carry):
         _, it = carry
-        for b in range(n_blocks):
-            halo_ref[2 * b, :] = lbl_ref[b * _BLOCK, :]
-            halo_ref[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
         changed = jnp.bool_(False)
-        for b in range(n_blocks):
-            r0 = b * _BLOCK
-            lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
-            mask = mask_ref[pl.ds(r0, _BLOCK), :] > 0
-            up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), INF)
-            dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), INF)
-            cand = jnp.minimum(
-                jnp.minimum(_shift_rows(lbl, True, up_edge),
-                            _shift_rows(lbl, False, dn_edge)),
-                jnp.minimum(_shift_cols(lbl, True, INF),
-                            _shift_cols(lbl, False, INF)))
-            new = jnp.where(mask, jnp.minimum(lbl, cand), INF)
-            changed = changed | jnp.any(new < lbl)
-            lbl_ref[pl.ds(r0, _BLOCK), :] = new
-        return changed, it + 1
+        for s in range(_SWEEP_BATCH):
+            last = s == _SWEEP_BATCH - 1
+            for b in range(n_blocks):
+                halo_ref[2 * b, :] = lbl_ref[b * _BLOCK, :]
+                halo_ref[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
+            for b in range(n_blocks):
+                r0 = b * _BLOCK
+                lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
+                mask = mask_ref[pl.ds(r0, _BLOCK), :] > 0
+                up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), INF)
+                dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), INF)
+                cand = jnp.minimum(
+                    jnp.minimum(_shift_rows(lbl, True, up_edge),
+                                _shift_rows(lbl, False, dn_edge)),
+                    jnp.minimum(_shift_cols(lbl, True, INF),
+                                _shift_cols(lbl, False, INF)))
+                new = jnp.where(mask, jnp.minimum(lbl, cand), INF)
+                if last:
+                    changed = changed | jnp.any(new < lbl)
+                lbl_ref[pl.ds(r0, _BLOCK), :] = new
+        return changed, it + _SWEEP_BATCH
 
-    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep,
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
                        (jnp.bool_(True), jnp.int32(0)))
 
 
@@ -196,78 +209,82 @@ def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
         lam_halo[2 * b, :] = lam_ref[b * _BLOCK, :]
         lam_halo[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
 
-    def sweep(carry):
-        _, it = carry
-        for b in range(n_blocks):
-            lbl_halo[2 * b, :] = lbl_ref[b * _BLOCK, :]
-            lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
-            t_halo[2 * b, :] = t_ref[b * _BLOCK, :]
-            t_halo[2 * b + 1, :] = t_ref[(b + 1) * _BLOCK - 1, :]
+    def sweep_batch(carry):
+        _, it0 = carry
         changed = jnp.bool_(False)
-        for b in range(n_blocks):
-            r0 = b * _BLOCK
-            lam = lam_ref[pl.ds(r0, _BLOCK), :]
-            lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
-            t = t_ref[pl.ds(r0, _BLOCK), :]
-            settled = lbl != 0
+        for s in range(_SWEEP_BATCH):
+            last = s == _SWEEP_BATCH - 1
+            it = it0 + s  # arrival stamps still advance once per SWEEP
+            for b in range(n_blocks):
+                lbl_halo[2 * b, :] = lbl_ref[b * _BLOCK, :]
+                lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
+                t_halo[2 * b, :] = t_ref[b * _BLOCK, :]
+                t_halo[2 * b + 1, :] = t_ref[(b + 1) * _BLOCK - 1, :]
+            for b in range(n_blocks):
+                r0 = b * _BLOCK
+                lam = lam_ref[pl.ds(r0, _BLOCK), :]
+                lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
+                t = t_ref[pl.ds(r0, _BLOCK), :]
+                settled = lbl != 0
 
-            if b > 0:
-                up = (lam_halo[2 * b - 1, :], lbl_halo[2 * b - 1, :],
-                      t_halo[2 * b - 1, :])
-            else:
-                up = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
-                      jnp.full((W,), big_t))
-            if b < n_blocks - 1:
-                dn = (lam_halo[2 * b + 2, :], lbl_halo[2 * b + 2, :],
-                      t_halo[2 * b + 2, :])
-            else:
-                dn = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
-                      jnp.full((W,), big_t))
+                if b > 0:
+                    up = (lam_halo[2 * b - 1, :], lbl_halo[2 * b - 1, :],
+                          t_halo[2 * b - 1, :])
+                else:
+                    up = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
+                          jnp.full((W,), big_t))
+                if b < n_blocks - 1:
+                    dn = (lam_halo[2 * b + 2, :], lbl_halo[2 * b + 2, :],
+                          t_halo[2 * b + 2, :])
+                else:
+                    dn = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
+                          jnp.full((W,), big_t))
 
-            nbrs = [
-                (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
-                 _shift_rows(t, True, up[2])),
-                (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
-                 _shift_rows(t, False, dn[2])),
-                (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
-                 _shift_cols(t, True, big_t)),
-                (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
-                 _shift_cols(t, False, big_t)),
-            ]
-            ready = jnp.ones_like(settled)
-            all_eq = jnp.ones_like(settled)
-            best_v = jnp.full((_BLOCK, W), inf, jnp.float32)
-            best_t = jnp.full((_BLOCK, W), big_t, jnp.int32)
-            best_l = jnp.zeros((_BLOCK, W), jnp.int32)
-            minl = jnp.full((_BLOCK, W), jnp.int32((1 << 30)), jnp.int32)
-            maxl = jnp.zeros((_BLOCK, W), jnp.int32)
-            for qv, ql, qt in nbrs:
-                qsettled = ql != 0
-                ready = ready & ((~(qv < lam)) | qsettled)
-                all_eq = all_eq & ((~(qv <= lam)) | qsettled)
-                donor = (ql > 0) & (qv <= lam)
-                minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
-                maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
-                better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
-                best_v = jnp.where(better, qv, best_v)
-                best_t = jnp.where(better, qt, best_t)
-                best_l = jnp.where(better, ql, best_l)
-            has_donor = maxl > 0
-            conflict = has_donor & (minl != maxl)
-            unsettled = ~settled
-            settle_lbl = unsettled & ready & has_donor & (~conflict)
-            settle_line = unsettled & ready & conflict
-            settle_void = unsettled & ready & (~has_donor) & all_eq
-            can = settle_lbl | settle_line | settle_void
-            new_lbl = jnp.where(
-                settle_lbl, best_l,
-                jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
-            lbl_ref[pl.ds(r0, _BLOCK), :] = new_lbl
-            t_ref[pl.ds(r0, _BLOCK), :] = jnp.where(can, it, t)
-            changed = changed | jnp.any(can)
-        return changed, it + 1
+                nbrs = [
+                    (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
+                     _shift_rows(t, True, up[2])),
+                    (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
+                     _shift_rows(t, False, dn[2])),
+                    (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
+                     _shift_cols(t, True, big_t)),
+                    (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
+                     _shift_cols(t, False, big_t)),
+                ]
+                ready = jnp.ones_like(settled)
+                all_eq = jnp.ones_like(settled)
+                best_v = jnp.full((_BLOCK, W), inf, jnp.float32)
+                best_t = jnp.full((_BLOCK, W), big_t, jnp.int32)
+                best_l = jnp.zeros((_BLOCK, W), jnp.int32)
+                minl = jnp.full((_BLOCK, W), jnp.int32((1 << 30)), jnp.int32)
+                maxl = jnp.zeros((_BLOCK, W), jnp.int32)
+                for qv, ql, qt in nbrs:
+                    qsettled = ql != 0
+                    ready = ready & ((~(qv < lam)) | qsettled)
+                    all_eq = all_eq & ((~(qv <= lam)) | qsettled)
+                    donor = (ql > 0) & (qv <= lam)
+                    minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
+                    maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
+                    better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
+                    best_v = jnp.where(better, qv, best_v)
+                    best_t = jnp.where(better, qt, best_t)
+                    best_l = jnp.where(better, ql, best_l)
+                has_donor = maxl > 0
+                conflict = has_donor & (minl != maxl)
+                unsettled = ~settled
+                settle_lbl = unsettled & ready & has_donor & (~conflict)
+                settle_line = unsettled & ready & conflict
+                settle_void = unsettled & ready & (~has_donor) & all_eq
+                can = settle_lbl | settle_line | settle_void
+                new_lbl = jnp.where(
+                    settle_lbl, best_l,
+                    jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
+                lbl_ref[pl.ds(r0, _BLOCK), :] = new_lbl
+                t_ref[pl.ds(r0, _BLOCK), :] = jnp.where(can, it, t)
+                if last:
+                    changed = changed | jnp.any(can)
+        return changed, it0 + _SWEEP_BATCH
 
-    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep,
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
                        (jnp.bool_(True), jnp.int32(1)))
 
 
