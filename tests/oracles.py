@@ -137,16 +137,21 @@ def reference_contact_matrix(labels):
 
 
 def crocker_grier_link(frames, search_range=100.0, memory=3, area_weight=0.5,
-                       max_subnet=16):
-    """Exact Crocker-Grier frame-to-frame linker — the algorithm trackpy implements
-    (reference config ``tissue_info.py:1924-1926``: search_range=100, memory=3,
-    custom metric sqrt(dy^2 + dx^2 + 0.5 (sqrt a1 - sqrt a2)^2 at :1935-1938).
+                       subnet_limit=30, adaptive_step=0.95, adaptive_stop=10.0):
+    """Crocker-Grier frame-to-frame linker with trackpy's ADAPTIVE subnet
+    handling (reference config ``tissue_info.py:1924-1926``: search_range=100,
+    adaptive_stop=10, memory=3; metric sqrt(dy^2+dx^2+0.5(sqrt a1-sqrt a2)^2)
+    at :1935-1938).
 
     ``frames``: list of (cy, cx, area) float arrays (one per frame; already
-    drift-corrected). Per frame pair: candidate links gated at search_range,
-    connected subnets solved EXACTLY (Hungarian over the subnet with per-track
-    null options costing search_range^2 — minimizing total squared displacement
-    with lost tracks penalized at the cutoff, Crocker & Grier 1996 eq. 6).
+    drift-corrected). Per frame pair: candidate links gated at search_range;
+    connected subnets up to ``subnet_limit`` destination cells are solved
+    EXACTLY (Hungarian with per-cell null options costing the subnet's
+    effective search_range^2 — Crocker & Grier 1996 eq. 6). Oversized subnets
+    get their search_range multiplied by ``adaptive_step`` and re-split,
+    recursively — trackpy's adaptive search. trackpy raises
+    SubnetOversizeException once the radius falls below ``adaptive_stop``; an
+    oracle cannot crash, so the floor-radius subnet is solved exactly instead.
     Unmatched tracks persist for ``memory`` frames at their last position.
 
     Returns: list of int arrays of track ids (1-based) per frame.
@@ -174,32 +179,42 @@ def crocker_grier_link(frames, search_range=100.0, memory=3, area_weight=0.5,
             d2 = ((cy[:, None] - ty[None, :]) ** 2
                   + (cx[:, None] - tx[None, :]) ** 2
                   + area_weight * (sa[:, None] - tsa[None, :]) ** 2)
-            cand = d2 < sr2
         else:
-            cand = np.zeros((m, k), bool)
-        # subnets: connected components of the bipartite candidate graph
-        ci, ti = np.nonzero(cand)
-        n_nodes = m + k
-        g = coo_matrix((np.ones(len(ci)), (ci, m + ti)), shape=(n_nodes, n_nodes))
-        ncomp, comp = cc(g, directed=False)
+            d2 = np.zeros((m, k))
         taken = np.zeros(k, bool)
-        for c in range(ncomp):
-            cells = np.nonzero(comp[:m] == c)[0]
-            tracks = np.nonzero(comp[m:] == c)[0]
-            if len(cells) == 0 or len(tracks) == 0:
-                continue
-            # exact assignment: cells x (tracks + per-cell null), null costs sr2
-            nc, nt = len(cells), len(tracks)
-            cost = np.full((nc, nt + nc), sr2, float)
-            sub = d2[np.ix_(cells, tracks)]
-            sub_ok = cand[np.ix_(cells, tracks)]
-            cost[:nc, :nt] = np.where(sub_ok, sub, 1e18)
-            rows, cols = linear_sum_assignment(cost)
-            for r, cc_ in zip(rows, cols):
-                if cc_ < nt and cost[r, cc_] < 1e17:
-                    tr = tracks[cc_]
-                    ids[cells[r]] = live[tr]["id"]
-                    taken[tr] = True
+
+        def solve(cells, tracks, sr):
+            """Match cells x tracks within radius sr; adaptive re-split."""
+            sr2l = sr * sr
+            ok = d2[np.ix_(cells, tracks)] < sr2l
+            ci, ti = np.nonzero(ok)
+            nc_all, nt_all = len(cells), len(tracks)
+            g = coo_matrix((np.ones(len(ci)), (ci, nc_all + ti)),
+                           shape=(nc_all + nt_all, nc_all + nt_all))
+            ncomp, comp = cc(g, directed=False)
+            for c in range(ncomp):
+                sub_c = [cells[i] for i in np.nonzero(comp[:nc_all] == c)[0]]
+                sub_t = [tracks[i] for i in np.nonzero(comp[nc_all:] == c)[0]]
+                if not sub_c or not sub_t:
+                    continue
+                if (len(sub_c) > subnet_limit
+                        and sr * adaptive_step >= adaptive_stop):
+                    solve(sub_c, sub_t, sr * adaptive_step)
+                    continue
+                nc, nt = len(sub_c), len(sub_t)
+                cost = np.full((nc, nt + nc), sr2l, float)
+                sub = d2[np.ix_(sub_c, sub_t)]
+                sub_ok = sub < sr2l
+                cost[:nc, :nt] = np.where(sub_ok, sub, 1e18)
+                rows, cols = linear_sum_assignment(cost)
+                for r, cc_ in zip(rows, cols):
+                    if cc_ < nt and cost[r, cc_] < 1e17:
+                        tr = sub_t[cc_]
+                        ids[sub_c[r]] = live[tr]["id"]
+                        taken[tr] = True
+
+        if k and m:
+            solve(list(range(m)), list(range(k)), search_range)
         # fresh ids in order
         for i in range(m):
             if ids[i] == 0:

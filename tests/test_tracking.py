@@ -272,3 +272,43 @@ def test_track_movie_crocker_grier_parity(rng):
     parity = inter / max(len(links_orc), 1)
     assert parity >= 0.99, f"lineage parity {parity:.4f} ({inter}/{len(links_orc)})"
     assert news_dev == news_orc
+
+
+def test_track_movie_dense_content_parity(rng):
+    """Dense bench-like content (700 cells / 1024^2, 3% flicker): parity vs the
+    ADAPTIVE Crocker-Grier oracle (trackpy shrinks the search radius for
+    oversized subnets — at this density the whole frame is one subnet at
+    sr=100, so the reference's effective radius is much smaller)."""
+    from oracles import crocker_grier_link
+
+    T, N = 6, 700
+    pos = np.stack([rng.uniform(0, 1024, N), rng.uniform(0, 1024, N)], 1)
+    area = rng.uniform(900, 2500, N)
+    cys, cxs, ars, mks = [], [], [], []
+    for t in range(T):
+        pos = pos + np.array([1.5, -1.0]) + rng.normal(0, 0.8, pos.shape)
+        a = area * (1 + rng.normal(0, 0.03, N))
+        vis = rng.random(N) > 0.03
+        cys.append(pos[:, 0].copy()); cxs.append(pos[:, 1].copy())
+        ars.append(a.copy()); mks.append(vis)
+    cy = np.stack(cys).astype(np.float32)
+    cx = np.stack(cxs).astype(np.float32)
+    ar = np.stack(ars).astype(np.float32)
+    mk = np.stack(mks)
+
+    ids_dev = np.asarray(track_movie(jnp.asarray(cy), jnp.asarray(cx),
+                                     jnp.asarray(ar), jnp.asarray(mk),
+                                     capacity=2 * N))
+    frames, rowmaps = [], []
+    for t in range(T):
+        rows = np.nonzero(mk[t])[0]
+        rowmaps.append(rows)
+        frames.append((cy[t, rows], cx[t, rows], ar[t, rows]))
+    orc = crocker_grier_link(frames)
+    ids_orc = [np.zeros(N, np.int64) for _ in range(T)]
+    for t in range(T):
+        ids_orc[t][rowmaps[t]] = orc[t]
+    links_dev, _ = _lineage_links([ids_dev[t] for t in range(T)])
+    links_orc, _ = _lineage_links(ids_orc)
+    parity = len(links_dev & links_orc) / max(len(links_orc), 1)
+    assert parity >= 0.95, f"dense-content lineage parity {parity:.4f}"

@@ -164,11 +164,13 @@ def _tracking_cost2(pos_p, sa_p, pos_c, sa_c, area_weight):
     return dy * dy + dx * dx + area_weight * da * da
 
 
-@functools.partial(jax.jit, static_argnames=("search_range", "memory", "area_weight"))
+@functools.partial(jax.jit, static_argnames=("search_range", "memory", "area_weight",
+                                             "eps_factor", "max_rounds", "cand_k"))
 def link_frames(
     state: TrackingState,
     cy: jnp.ndarray, cx: jnp.ndarray, area: jnp.ndarray, mask: jnp.ndarray,
     search_range: float = 100.0, memory: int = 3, area_weight: float = 0.5,
+    eps_factor: float = 1e-5, max_rounds: int = 256, cand_k: int = 8,
 ) -> Tuple[TrackingState, jnp.ndarray]:
     """Link one frame's cells (padded arrays of size M) to the live track set.
 
@@ -186,8 +188,8 @@ def link_frames(
     # benefit gaps down to ~0.1 px^2 at the reference's search_range=100 — below
     # any physically meaningful link ambiguity — while the coarse first phase
     # prices unmatchable persons out in a few dozen rounds
-    person_obj = auction_assignment(benefit, mask, alive, eps=1e-5 * sr2,
-                                    max_rounds=256)
+    person_obj = auction_assignment(benefit, mask, alive, eps=eps_factor * sr2,
+                                    max_rounds=max_rounds, cand_k=cand_k)
 
     matched = person_obj >= 0
     safe_obj = jnp.clip(person_obj, 0, K - 1)
@@ -223,13 +225,15 @@ def link_frames(
 
 
 @functools.partial(jax.jit, static_argnames=("search_range", "memory", "area_weight",
-                                             "capacity"))
+                                             "capacity", "eps_factor",
+                                             "max_rounds", "cand_k"))
 def track_movie(
     cy: jnp.ndarray, cx: jnp.ndarray, area: jnp.ndarray, mask: jnp.ndarray,
     drifts: Optional[jnp.ndarray] = None,
     frame_valid: Optional[jnp.ndarray] = None,
     search_range: float = 100.0, memory: int = 3, area_weight: float = 0.5,
     capacity: Optional[int] = None,
+    eps_factor: float = 1e-5, max_rounds: int = 256, cand_k: int = 8,
 ) -> jnp.ndarray:
     """Track a whole movie in one scan.
 
@@ -260,7 +264,9 @@ def track_movie(
 
         def do_link(s):
             return link_frames(s, fy, fx, fa, fm, search_range=search_range,
-                               memory=memory, area_weight=area_weight)
+                               memory=memory, area_weight=area_weight,
+                               eps_factor=eps_factor, max_rounds=max_rounds,
+                               cand_k=cand_k)
 
         def skip(s):
             aged = dataclasses.replace(s, age=s.age + 1)
