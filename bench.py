@@ -404,6 +404,9 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "tests"))
         from oracles import crocker_grier_link
+
+        from tissue_image_processing_tpu.core.tracking import (
+            adaptive_effective_ranges, track_movie)
         cys, cxs, areas, masks, drifts = [np.asarray(x) for x in track_data]
         cum = np.cumsum(drifts, axis=0)
         frames, rowmaps = [], []
@@ -416,7 +419,17 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         ids_orc = [np.zeros(ids_np.shape[1], np.int64) for _ in range(T)]
         for t in range(T):
             ids_orc[t][rowmaps[t]] = orc[t]
-        links_dev = _lineage_links([ids_np[t] for t in range(T)])
+        # re-track with trackpy's adaptive effective radii (what the headline
+        # scan would use in the product path; the headline keeps a fixed
+        # search_range so its timing stays comparable across rounds)
+        ranges = adaptive_effective_ranges(cys, cxs, areas, masks,
+                                           drifts=drifts)
+        ids_ad = np.asarray(track_movie(
+            jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(areas),
+            jnp.asarray(masks), drifts=jnp.asarray(drifts),
+            capacity=2 * ids_np.shape[1],
+            search_ranges=jnp.asarray(ranges, jnp.float32)))
+        links_dev = _lineage_links([ids_ad[t] for t in range(T)])
         links_orc = _lineage_links(ids_orc)
         parity = round(len(links_dev & links_orc) / max(len(links_orc), 1), 4)
     except Exception as e:

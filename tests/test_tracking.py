@@ -296,9 +296,15 @@ def test_track_movie_dense_content_parity(rng):
     ar = np.stack(ars).astype(np.float32)
     mk = np.stack(mks)
 
+    from tissue_image_processing_tpu.core.tracking import (
+        adaptive_effective_ranges)
+
+    ranges = adaptive_effective_ranges(cy, cx, ar, mk)
+    assert ranges[1:].max() < 100.0  # dense frames DO shrink
     ids_dev = np.asarray(track_movie(jnp.asarray(cy), jnp.asarray(cx),
                                      jnp.asarray(ar), jnp.asarray(mk),
-                                     capacity=2 * N))
+                                     capacity=2 * N,
+                                     search_ranges=jnp.asarray(ranges)))
     frames, rowmaps = [], []
     for t in range(T):
         rows = np.nonzero(mk[t])[0]
@@ -311,4 +317,4 @@ def test_track_movie_dense_content_parity(rng):
     links_dev, _ = _lineage_links([ids_dev[t] for t in range(T)])
     links_orc, _ = _lineage_links(ids_orc)
     parity = len(links_dev & links_orc) / max(len(links_orc), 1)
-    assert parity >= 0.95, f"dense-content lineage parity {parity:.4f}"
+    assert parity >= 0.99, f"dense-content lineage parity {parity:.4f}"

@@ -444,11 +444,19 @@ class Tissue:
             else:
                 drifts = np.asarray(compute_drift_chain(jnp.asarray(imgs)))
             self.drifts[initial_frame - 1:final_frame] = drifts
-        drifts = jnp.asarray(self.drifts[initial_frame - 1:final_frame].astype(np.float32))
+        drifts_np = self.drifts[initial_frame - 1:final_frame].astype(np.float32)
+        drifts = jnp.asarray(drifts_np)
+        # trackpy's adaptive search (reference adaptive_stop=10): per-frame
+        # effective radii from the subnet-splitting recursion
+        from tissue_image_processing_tpu.core.tracking import (
+            adaptive_effective_ranges)
+        ranges = adaptive_effective_ranges(cy, cx, area, mask, drifts=drifts_np,
+                                           search_range=search_range)
         ids = np.asarray(track_movie(
             jnp.asarray(cy), jnp.asarray(cx), jnp.asarray(area), jnp.asarray(mask),
             drifts=drifts, frame_valid=jnp.asarray(valid),
-            search_range=search_range, memory=memory, capacity=2 * cap))
+            search_range=search_range, memory=memory, capacity=2 * cap,
+            search_ranges=jnp.asarray(ranges, jnp.float32)))
         for i, f in enumerate(frames):
             t = tables[i]
             if t is None:
