@@ -35,6 +35,11 @@ __all__ = ["bf_flood_pallas", "settle_pallas", "cc_diffusion_pallas",
            "pallas_flood_supported"]
 
 _BLOCK = 64
+# The settle kernel keeps ~14 live (block, W) vector values per block (3 state
+# arrays + 12 shifted triples + 6 accumulators); at block 64 that is ~900
+# vregs — far past the register file, so every sweep pays spill traffic. Block
+# 32 halves the footprint (settle measured 5.8 -> see BENCH notes).
+_SETTLE_BLOCK = 32
 _MAX_SWEEPS = 4096
 # Sweeps per while_loop iteration. The elementwise work of a sweep is ~0.01 ms;
 # the measured ~0.07 ms/sweep came from the per-block jnp.any convergence
@@ -192,96 +197,119 @@ def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None
 
 
 def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
-                   lam_halo, lbl_halo, t_halo):
+                   lam_halo, lbl_halo, t_halo, flags_ref, nflags_ref):
     del lbl_in_ref, t_in_ref  # aliased with the outputs
     """Ascending settle (Meyer pop order) with conflict->line, all state in VMEM.
 
     lbl encoding: 0 = unsettled, k>0 = settled label k, -1 = settled line,
     -2 = settled void.
+
+    Per-block skip flags: a block whose own rows and both neighbor blocks
+    settled nothing last sweep cannot settle anything this sweep (its update
+    depends only on its rows plus a one-row halo), so it is skipped via
+    ``pl.when`` — EXACTLY the same output (``it`` advances globally). The
+    settle's sweep count is set by watershed-LINE chains that crawl one pixel
+    per sweep along cell perimeters (hundreds of sweeps on 1024^2 membranes);
+    most blocks go quiet after a few dozen sweeps, so late sweeps touch only
+    the 2-3 blocks still carrying a chain.
     """
     H, W = lam_ref.shape
-    n_blocks = H // _BLOCK
+    n_blocks = H // _SETTLE_BLOCK
     inf = jnp.float32(jnp.inf)
     big_t = jnp.int32(1 << 29)
 
     # lam is constant during the settle: snapshot its halo rows once
     for b in range(n_blocks):
-        lam_halo[2 * b, :] = lam_ref[b * _BLOCK, :]
-        lam_halo[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
+        lam_halo[2 * b, :] = lam_ref[b * _SETTLE_BLOCK, :]
+        lam_halo[2 * b + 1, :] = lam_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
+        flags_ref[b] = jnp.int32(1)
+
+    def _block_body(b, r0, it):
+        lam = lam_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        lbl = lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        t = t_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        settled = lbl != 0
+
+        if b > 0:
+            up = (lam_halo[2 * b - 1, :], lbl_halo[2 * b - 1, :],
+                  t_halo[2 * b - 1, :])
+        else:
+            up = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
+                  jnp.full((W,), big_t))
+        if b < n_blocks - 1:
+            dn = (lam_halo[2 * b + 2, :], lbl_halo[2 * b + 2, :],
+                  t_halo[2 * b + 2, :])
+        else:
+            dn = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
+                  jnp.full((W,), big_t))
+
+        nbrs = [
+            (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
+             _shift_rows(t, True, up[2])),
+            (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
+             _shift_rows(t, False, dn[2])),
+            (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
+             _shift_cols(t, True, big_t)),
+            (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
+             _shift_cols(t, False, big_t)),
+        ]
+        ready = jnp.ones_like(settled)
+        all_eq = jnp.ones_like(settled)
+        best_v = jnp.full((_SETTLE_BLOCK, W), inf, jnp.float32)
+        best_t = jnp.full((_SETTLE_BLOCK, W), big_t, jnp.int32)
+        best_l = jnp.zeros((_SETTLE_BLOCK, W), jnp.int32)
+        minl = jnp.full((_SETTLE_BLOCK, W), jnp.int32((1 << 30)), jnp.int32)
+        maxl = jnp.zeros((_SETTLE_BLOCK, W), jnp.int32)
+        for qv, ql, qt in nbrs:
+            qsettled = ql != 0
+            ready = ready & ((~(qv < lam)) | qsettled)
+            all_eq = all_eq & ((~(qv <= lam)) | qsettled)
+            donor = (ql > 0) & (qv <= lam)
+            minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
+            maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
+            better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
+            best_v = jnp.where(better, qv, best_v)
+            best_t = jnp.where(better, qt, best_t)
+            best_l = jnp.where(better, ql, best_l)
+        has_donor = maxl > 0
+        conflict = has_donor & (minl != maxl)
+        unsettled = ~settled
+        settle_lbl = unsettled & ready & has_donor & (~conflict)
+        settle_line = unsettled & ready & conflict
+        settle_void = unsettled & ready & (~has_donor) & all_eq
+        can = settle_lbl | settle_line | settle_void
+        new_lbl = jnp.where(
+            settle_lbl, best_l,
+            jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
+        lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = new_lbl
+        t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = jnp.where(can, it, t)
+        nflags_ref[b] = jnp.any(can).astype(jnp.int32)
 
     def sweep_batch(carry):
         _, it0 = carry
-        changed = jnp.bool_(False)
         for s in range(_SWEEP_BATCH):
-            last = s == _SWEEP_BATCH - 1
             it = it0 + s  # arrival stamps still advance once per SWEEP
             for b in range(n_blocks):
-                lbl_halo[2 * b, :] = lbl_ref[b * _BLOCK, :]
-                lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
-                t_halo[2 * b, :] = t_ref[b * _BLOCK, :]
-                t_halo[2 * b + 1, :] = t_ref[(b + 1) * _BLOCK - 1, :]
+                lbl_halo[2 * b, :] = lbl_ref[b * _SETTLE_BLOCK, :]
+                lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
+                t_halo[2 * b, :] = t_ref[b * _SETTLE_BLOCK, :]
+                t_halo[2 * b + 1, :] = t_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
             for b in range(n_blocks):
-                r0 = b * _BLOCK
-                lam = lam_ref[pl.ds(r0, _BLOCK), :]
-                lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
-                t = t_ref[pl.ds(r0, _BLOCK), :]
-                settled = lbl != 0
-
+                near = flags_ref[b]
                 if b > 0:
-                    up = (lam_halo[2 * b - 1, :], lbl_halo[2 * b - 1, :],
-                          t_halo[2 * b - 1, :])
-                else:
-                    up = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
-                          jnp.full((W,), big_t))
+                    near = near + flags_ref[b - 1]
                 if b < n_blocks - 1:
-                    dn = (lam_halo[2 * b + 2, :], lbl_halo[2 * b + 2, :],
-                          t_halo[2 * b + 2, :])
-                else:
-                    dn = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
-                          jnp.full((W,), big_t))
+                    near = near + flags_ref[b + 1]
+                nflags_ref[b] = jnp.int32(0)
 
-                nbrs = [
-                    (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
-                     _shift_rows(t, True, up[2])),
-                    (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
-                     _shift_rows(t, False, dn[2])),
-                    (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
-                     _shift_cols(t, True, big_t)),
-                    (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
-                     _shift_cols(t, False, big_t)),
-                ]
-                ready = jnp.ones_like(settled)
-                all_eq = jnp.ones_like(settled)
-                best_v = jnp.full((_BLOCK, W), inf, jnp.float32)
-                best_t = jnp.full((_BLOCK, W), big_t, jnp.int32)
-                best_l = jnp.zeros((_BLOCK, W), jnp.int32)
-                minl = jnp.full((_BLOCK, W), jnp.int32((1 << 30)), jnp.int32)
-                maxl = jnp.zeros((_BLOCK, W), jnp.int32)
-                for qv, ql, qt in nbrs:
-                    qsettled = ql != 0
-                    ready = ready & ((~(qv < lam)) | qsettled)
-                    all_eq = all_eq & ((~(qv <= lam)) | qsettled)
-                    donor = (ql > 0) & (qv <= lam)
-                    minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
-                    maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
-                    better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
-                    best_v = jnp.where(better, qv, best_v)
-                    best_t = jnp.where(better, qt, best_t)
-                    best_l = jnp.where(better, ql, best_l)
-                has_donor = maxl > 0
-                conflict = has_donor & (minl != maxl)
-                unsettled = ~settled
-                settle_lbl = unsettled & ready & has_donor & (~conflict)
-                settle_line = unsettled & ready & conflict
-                settle_void = unsettled & ready & (~has_donor) & all_eq
-                can = settle_lbl | settle_line | settle_void
-                new_lbl = jnp.where(
-                    settle_lbl, best_l,
-                    jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
-                lbl_ref[pl.ds(r0, _BLOCK), :] = new_lbl
-                t_ref[pl.ds(r0, _BLOCK), :] = jnp.where(can, it, t)
-                if last:
-                    changed = changed | jnp.any(can)
+                @pl.when(near > 0)
+                def _run(b=b, it=it):
+                    _block_body(b, b * _SETTLE_BLOCK, it)
+            for b in range(n_blocks):
+                flags_ref[b] = nflags_ref[b]
+        changed = flags_ref[0] > 0
+        for b in range(1, n_blocks):
+            changed = changed | (flags_ref[b] > 0)
         return changed, it0 + _SWEEP_BATCH
 
     jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
@@ -307,9 +335,11 @@ def settle_pallas(lam: jnp.ndarray, seeds: jnp.ndarray
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2 * (H // _BLOCK), W), jnp.float32),
-            pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32),
-            pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32),
+            pltpu.VMEM((2 * (H // _SETTLE_BLOCK), W), jnp.float32),
+            pltpu.VMEM((2 * (H // _SETTLE_BLOCK), W), jnp.int32),
+            pltpu.VMEM((2 * (H // _SETTLE_BLOCK), W), jnp.int32),
+            pltpu.SMEM((H // _SETTLE_BLOCK,), jnp.int32),
+            pltpu.SMEM((H // _SETTLE_BLOCK,), jnp.int32),
         ],
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
