@@ -290,10 +290,20 @@ def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
         for s in range(_SWEEP_BATCH):
             it = it0 + s  # arrival stamps still advance once per SWEEP
             for b in range(n_blocks):
-                lbl_halo[2 * b, :] = lbl_ref[b * _SETTLE_BLOCK, :]
-                lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
-                t_halo[2 * b, :] = t_ref[b * _SETTLE_BLOCK, :]
-                t_halo[2 * b + 1, :] = t_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
+                # block b's halo rows are read by b+-1; refresh only when b or a
+                # neighbor settled last sweep (otherwise the snapshot is current)
+                near = flags_ref[b]
+                if b > 0:
+                    near = near + flags_ref[b - 1]
+                if b < n_blocks - 1:
+                    near = near + flags_ref[b + 1]
+
+                @pl.when(near > 0)
+                def _copy_halo(b=b):
+                    lbl_halo[2 * b, :] = lbl_ref[b * _SETTLE_BLOCK, :]
+                    lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
+                    t_halo[2 * b, :] = t_ref[b * _SETTLE_BLOCK, :]
+                    t_halo[2 * b + 1, :] = t_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
             for b in range(n_blocks):
                 near = flags_ref[b]
                 if b > 0:
