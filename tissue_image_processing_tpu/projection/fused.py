@@ -80,7 +80,7 @@ def _make_score_kernel(Z, X, kz, ky, kx, airyscan_offset, ry_pad):
     Xp += (-Xp) % 128
     y0 = ry_pad - ry  # first row of the real y-halo inside the padded slab
 
-    def kernel(p95_ref, xp_hbm, mx_ref, out_ref, slab, zbuf, ybuf, sem):
+    def kernel(p95_ref, xp_hbm, mx_ref, out_ref, slab, zbuf, sem):
         i = pl.program_id(0)
         # uint16 DMA slices need 16-row sublane granularity: the slab is padded
         # to ry_pad (8) rows per side even though the y kernel radius is ry (4)
@@ -89,25 +89,31 @@ def _make_score_kernel(Z, X, kz, ky, kx, airyscan_offset, ry_pad):
         cp.start()
         p95 = p95_ref[0]
         cp.wait()
+        # plane-wise processing: every live value is 2-D — the first version's
+        # full-slab f32 temporaries (11 MB) forced register spills.
         # u16 -> f32 via i32 (Mosaic has no direct u16->f32 cast), airyscan
         # offset, p95 clip (clip-to-value like the reference: values above p95
         # are SET to p95, surface_projection.py:33-36)
-        v = slab[...].astype(jnp.int32).astype(jnp.float32)
-        if airyscan_offset:
-            v = jnp.maximum(v - airyscan_offset, 0.0)
-        v = jnp.minimum(v, p95)
-        for t, w in enumerate(kz):
-            term = w * v[t:t + Z]
-            zbuf[...] = term if t == 0 else zbuf[...] + term
-        for t, w in enumerate(ky):
-            term = w * zbuf[:, y0 + t:y0 + t + _BY]
-            ybuf[...] = term if t == 0 else ybuf[...] + term
-        # x-blur + x-decimation as one matmul per z-plane (2-D dots: the only
-        # matmul form Mosaic guarantees); y decimation happens in XLA outside
         mx = mx_ref[...]
-        for z in range(Z):
-            out_ref[z] = jax.lax.dot(ybuf[z], mx,
-                                     preferred_element_type=jnp.float32)
+        for zo in range(Z):
+            zacc = None
+            for t, w in enumerate(kz):
+                v = slab[zo + t].astype(jnp.int32).astype(jnp.float32)
+                if airyscan_offset:
+                    v = jnp.maximum(v - airyscan_offset, 0.0)
+                v = jnp.minimum(v, p95)
+                zacc = w * v if zacc is None else zacc + w * v
+            zbuf[zo] = zacc
+        for zo in range(Z):
+            zrow = zbuf[zo]
+            yacc = None
+            for t, w in enumerate(ky):
+                term = w * zrow[y0 + t:y0 + t + _BY]
+                yacc = term if yacc is None else yacc + term
+            # x-blur + x-decimation as one matmul per z-plane (2-D dots: the
+            # only matmul form Mosaic guarantees); y decimation happens outside
+            out_ref[zo] = jax.lax.dot(yacc, mx,
+                                      preferred_element_type=jnp.float32)
 
     return kernel, rz, ry, rx, Xp
 
@@ -138,7 +144,6 @@ def _score_pass(vol_u16: jnp.ndarray, p95: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((Z + 2 * rz, _BY + 2 * ry_pad, Xp), jnp.uint16),
             pltpu.VMEM((Z, _BY + 2 * ry_pad, Xp), jnp.float32),
-            pltpu.VMEM((Z, _BY, Xp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -191,19 +196,37 @@ def _make_project_kernel(C, Z, X, kz, ky, kx, airyscan_offset, ref_channel,
         # every contribution v*m is >= 0, so max-accumulating from 0 is exact
         out_ref[...] = jnp.zeros((C, _BY, X), jnp.float32)
 
-        def body(z, carry):
+        def masks_at(z):
             m = plane_mask(relz, z)
-            m_s = plane_mask(relz_s, z) if atoh_shift else m
+            return (m, plane_mask(relz_s, z) if atoh_shift else m)
+
+        def plane_contrib(c, z, masks):
+            m, m_s = masks
+            mm = m if (not atoh_shift or c == ref_channel) else m_s
+            v = img_slab[c, pl.ds(z, 1)][0].astype(jnp.int32).astype(
+                jnp.float32)
+            if airyscan_offset:
+                v = jnp.maximum(v - airyscan_offset, 0.0)
+            return v * mm
+
+        # two z-planes per step: their mask/contribution chains are independent,
+        # so the VPU overlaps them; one read-modify-write of out_ref per pair
+        def body(z2, carry):
+            z0 = z2 * 2
+            ma = masks_at(z0)
+            mb = masks_at(z0 + 1)
             for c in range(C):
-                mm = m if (not atoh_shift or c == ref_channel) else m_s
-                v = img_slab[c, pl.ds(z, 1)][0].astype(jnp.int32).astype(
-                    jnp.float32)
-                if airyscan_offset:
-                    v = jnp.maximum(v - airyscan_offset, 0.0)
-                out_ref[c] = jnp.maximum(out_ref[c], v * mm)
+                contrib = jnp.maximum(plane_contrib(c, z0, ma),
+                                      plane_contrib(c, z0 + 1, mb))
+                out_ref[c] = jnp.maximum(out_ref[c], contrib)
             return carry
 
-        jax.lax.fori_loop(0, Z, body, 0)
+        jax.lax.fori_loop(0, Z // 2, body, 0)
+        if Z % 2:
+            mt = masks_at(Z - 1)
+            for c in range(C):
+                out_ref[c] = jnp.maximum(out_ref[c],
+                                         plane_contrib(c, Z - 1, mt))
 
     return kernel, rz, ry, rx, Xp
 
