@@ -363,11 +363,27 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         cfg5()
         return round(T / (time.time() - t0), 2)
 
+    def run_cfg6():
+        # 2048^2 watershed (the reference's production frame scale padded up;
+        # VMEM-resident flood at the 2048^2 cap)
+        big = jnp.tile(projs[0], (2, 2))
+
+        @jax.jit
+        def cfg6(bg):
+            def step(i, acc):
+                lab = watershed_segmentation(
+                    bg + acc * 0, 0.2, 3.0, 101)
+                return acc + lab[0, 0].astype(jnp.float32) * 1e-20
+            return jax.lax.fori_loop(0, 5, step, jnp.float32(0))
+
+        return round(5 / _timed_loop(lambda: cfg6(big), 5), 2)
+
     for name, fn in [("1_watershed_512", run_cfg1),
                      ("2_projection_fps", run_cfg2),
                      ("3_unet_inference_fps", run_cfg3),
                      ("4_track100_fps", run_cfg4),
-                     ("5_full_movie_fps", run_cfg5)]:
+                     ("5_full_movie_fps", run_cfg5),
+                     ("6_watershed_2048", run_cfg6)]:
         if over_budget(name):
             continue
         print(f"# config {name} ...", file=sys.stderr)

@@ -78,11 +78,17 @@ def _shift_cols(x, right: bool, fill):
 
 
 def _bf_kernel(img_ref, lam_in_ref, lam_ref, halo_ref):
-    del lam_in_ref  # aliased with lam_ref
     """lam <- min(lam, max(shift(lam), img)) iterated to fixpoint, in VMEM."""
     H, W = img_ref.shape
     n_blocks = H // _BLOCK
     inf = jnp.float32(jnp.inf)
+    # explicit copy-in: a no-op when the input/output alias is honored, and the
+    # only correct initialization when it is not — on real TPUs the aliased
+    # output buffer has been observed arriving UNFILLED (reusing another
+    # kernel's dead buffer) at some sizes, which leaks sentinels downstream
+    for b in range(n_blocks):
+        r0 = b * _BLOCK
+        lam_ref[pl.ds(r0, _BLOCK), :] = lam_in_ref[pl.ds(r0, _BLOCK), :]
 
     def sweep_batch(carry):
         _, it = carry
@@ -132,13 +138,16 @@ def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref):
-    del lbl_in_ref  # aliased with lbl_ref
     """Min-index diffusion over a mask: connected components by propagation, all in
     VMEM (pointer jumping needs big gathers, which run at ~300 MB/s on this TPU —
     plateau diameters here are cell-sized, so diffusion sweeps win)."""
     H, W = mask_ref.shape
     n_blocks = H // _BLOCK
     INF = jnp.int32(H * W)
+    # explicit copy-in (see _bf_kernel: aliased outputs can arrive unfilled)
+    for b in range(n_blocks):
+        r0 = b * _BLOCK
+        lbl_ref[pl.ds(r0, _BLOCK), :] = lbl_in_ref[pl.ds(r0, _BLOCK), :]
 
     def sweep_batch(carry):
         _, it = carry
@@ -198,7 +207,6 @@ def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None
 
 def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                    lam_halo, lbl_halo, t_halo, flags_ref, nflags_ref):
-    del lbl_in_ref, t_in_ref  # aliased with the outputs
     """Ascending settle (Meyer pop order) with conflict->line, all state in VMEM.
 
     lbl encoding: 0 = unsettled, k>0 = settled label k, -1 = settled line,
@@ -218,6 +226,11 @@ def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
     inf = jnp.float32(jnp.inf)
     big_t = jnp.int32(1 << 29)
 
+    # explicit copy-in (see _bf_kernel: aliased outputs can arrive unfilled)
+    for b in range(n_blocks):
+        r0 = b * _SETTLE_BLOCK
+        lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = lbl_in_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = t_in_ref[pl.ds(r0, _SETTLE_BLOCK), :]
     # lam is constant during the settle: snapshot its halo rows once
     for b in range(n_blocks):
         lam_halo[2 * b, :] = lam_ref[b * _SETTLE_BLOCK, :]
