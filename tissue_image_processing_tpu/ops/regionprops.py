@@ -123,11 +123,19 @@ def regionprops(
                 pa[code].astype(f32), pb[code].astype(f32)]
     if intensity is not None:
         channels.append(intensity.ravel().astype(f32))
-    stacked = jnp.stack(channels, axis=0)  # (P, n)
-    # (P, RLO, n) x (n, nhi) -> (P, RLO, nhi); label l lives at [:, l%64, l//64]
-    sums = jnp.einsum("pnl,nh->plh", stacked[:, :, None] * oh_lo[None], oh_hi,
-                      precision=jax.lax.Precision.HIGHEST)
-    sums = jnp.transpose(sums, (0, 2, 1)).reshape(len(channels), -1)[:, :ns]
+
+    # one independent (ch * onehot_lo)^T @ onehot_hi matmul per channel (NOT a
+    # stacked einsum): callers that only consume area/centroids (e.g. the
+    # tracking pipeline) let XLA dead-code-eliminate the perimeter channels,
+    # including their border-pattern code computation
+    def seg_sum(ch):
+        prod = ch[:, None] * oh_lo  # (n, RLO)
+        s = jax.lax.dot_general(prod, oh_hi, (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        # (RLO, nhi); label l lives at [l%64, l//64]
+        return jnp.transpose(s, (1, 0)).reshape(-1)[:ns]
+
+    sums = [seg_sum(ch) for ch in channels]
 
     counts = sums[0].astype(jnp.int32)
     area = sums[0]
