@@ -43,10 +43,10 @@ __all__ = ["bf_flood_pallas", "settle_pallas", "cc_diffusion_pallas",
 
 _BLOCK = 64
 # The settle kernel keeps ~14 live (block, W) vector values per block (3 state
-# arrays + 12 shifted triples + 6 accumulators); at block 64 that is ~900
-# vregs — far past the register file, so every sweep pays spill traffic. Block
-# 32 halves the footprint (settle measured 5.8 -> see BENCH notes).
-_SETTLE_BLOCK = 32
+# arrays + 12 shifted triples + 6 accumulators); smaller blocks cut register
+# pressure AND give the activity flags finer skip granularity along the
+# watershed-line chains (measured 8.1 ms at 32 vs 7.6 ms at 16 on 1024^2).
+_SETTLE_BLOCK = 16
 _MAX_SWEEPS = 4096
 # Sweeps per while_loop iteration. The elementwise work of a sweep is ~0.01 ms;
 # the measured ~0.07 ms/sweep came from the per-block jnp.any convergence
