@@ -120,6 +120,41 @@ def test_czi_mosaic_tiles(tmp_path):
         np.testing.assert_array_equal(plane[:, 16:], b)
 
 
+def test_czi_mosaic_global_stage_offset(tmp_path):
+    """Mosaics acquired at a non-zero global stage offset (raw X/Y starts far
+    from 0) normalize to origin instead of allocating oversized output."""
+    path = os.path.join(str(tmp_path), "mosaic_off.czi")
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 255, (16, 16)).astype(np.uint8)
+    b = rng.integers(0, 255, (16, 16)).astype(np.uint8)
+    planes = [({"X": (5000, 16), "Y": (7000, 16), "T": (0, 1)}, a),
+              ({"X": (5016, 16), "Y": (7000, 16), "T": (0, 1)}, b)]
+    write_czi(path, planes)
+    with CziFile.open(path) as f:
+        assert f.shape_tczyx()[-2:] == (16, 32)
+        plane = f.read_frame(0)
+        np.testing.assert_array_equal(plane[:, :16], a)
+        np.testing.assert_array_equal(plane[:, 16:], b)
+
+
+def test_czi_sparse_acquisition_tolerated(tmp_path):
+    """read_whole leaves missing planes zero instead of failing the whole read
+    (truncated / sparsely-acquired files)."""
+    path = os.path.join(str(tmp_path), "sparse.czi")
+    rng = np.random.default_rng(5)
+    p0 = rng.integers(0, 999, (8, 8)).astype(np.uint16)
+    p2 = rng.integers(0, 999, (8, 8)).astype(np.uint16)
+    # planes for T=0 and T=2 only; T=1 missing
+    planes = [({"X": (0, 8), "Y": (0, 8), "T": (0, 1)}, p0),
+              ({"X": (0, 8), "Y": (0, 8), "T": (2, 1)}, p2)]
+    write_czi(path, planes)
+    got = read_czi(path)
+    assert got.shape == (3, 1, 1, 8, 8)
+    np.testing.assert_array_equal(got[0, 0, 0], p0)
+    np.testing.assert_array_equal(got[1, 0, 0], np.zeros((8, 8), np.uint16))
+    np.testing.assert_array_equal(got[2, 0, 0], p2)
+
+
 def test_czi_compressed_rejected(tmp_path):
     path = os.path.join(str(tmp_path), "c.czi")
     px = np.zeros((8, 8), np.uint16)

@@ -127,6 +127,23 @@ def test_tiff_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, arr)
 
 
+def test_update_projection_metadata(tmp_path):
+    """SizeT + physical pixel sizes rewrite into a saved projection TIFF
+    (reference update_projection_metadata, surface_projection.py:319-327)."""
+    from tissue_image_processing_tpu.projection.driver import (
+        update_projection_metadata)
+
+    arr = (np.random.default_rng(1).random((3, 2, 8, 16)) * 65535).astype(np.uint16)
+    p = os.path.join(tmp_path, "proj.tif")
+    save_tiff(p, arr, axes="TCYX")
+    update_projection_metadata(p, size_t=3, physical_pixel_sizes=(1.0, 0.1, 0.1))
+    back, axes, _, meta = read_tiff(p)
+    assert axes == "TCYX"
+    np.testing.assert_array_equal(back, arr)
+    assert meta["SizeT"] == 3
+    assert meta["physical_size_y"] == 0.1 and meta["physical_size_z"] == 1.0
+
+
 def test_tiff_rescale_uint16(tmp_path):
     arr = np.random.default_rng(0).random((4, 8)).astype(np.float32)
     p = os.path.join(tmp_path, "y.tif")

@@ -298,14 +298,49 @@ def test_out_of_core_save_load_roundtrip(tmp_path):
 
 
 def test_legacy_types_map_migration(tmp_path):
-    t = Tissue(1, os.path.join(str(tmp_path), "legacy.tif"), channel_names=[],
-               capacity=8, use_working_dir=True)
+    """A reference-written .seg (no format marker) migrates pre-bitmask types
+    maps ONCE at load(); maps written by this package round-trip unchanged."""
+    import zipfile
+
+    # build a legacy archive by hand: types file, no marker
+    legacy_dir = tmp_path / "legacy_wd"
+    legacy_dir.mkdir()
     # pre-bitmask encoding: 0=invalid, 1=HC, 2=SC (tissue_info.py:4216-4228)
     old = np.array([[0, 1], [2, 1]], np.uint8)
-    np.save(t._artifact_path("types", 0), old)
+    np.save(legacy_dir / "frame_1_types.npy", old)
+    seg = tmp_path / "legacy.seg"
+    with zipfile.ZipFile(seg, "w") as z:
+        z.write(legacy_dir / "frame_1_types.npy", "frame_1_types.npy")
+
+    t = Tissue(1, os.path.join(str(tmp_path), "legacy.tif"), channel_names=[],
+               capacity=8, use_working_dir=True)
+    for _ in t.load(str(seg)):
+        pass
     got = t.get_cell_types(1)
     np.testing.assert_array_equal(got, np.array([[255, 1], [0, 1]], np.uint8))
     t.clean_up()
+
+
+def test_new_format_types_map_not_remigrated(tmp_path):
+    """Regression (round-2 ADVICE): a NEW-format types map whose values happen
+    to all be in {0,1,2} must survive swap-mode round-trips and save+load
+    (the marker keeps load() from re-running the legacy migration)."""
+    t = Tissue(2, os.path.join(str(tmp_path), "new.tif"), channel_names=[],
+               capacity=8, use_working_dir=True)
+    tm = np.array([[0, 1], [2, 1]], np.uint8)  # valid new-format values
+    t.set_cell_types(1, tm.copy())
+    t.set_cell_types(2, np.zeros((2, 2), np.uint8))  # forces frame-1 swap-out
+    np.testing.assert_array_equal(t.get_cell_types(1), tm)  # swap round-trip
+    seg = str(tmp_path / "own.seg")
+    for _ in t.save(seg):
+        pass
+    t2 = Tissue(2, os.path.join(str(tmp_path), "new.tif"), channel_names=[],
+                capacity=8, use_working_dir=True)
+    for _ in t2.load(seg):
+        pass
+    np.testing.assert_array_equal(t2.get_cell_types(1), tm)
+    t.clean_up()
+    t2.clean_up()
 
 
 def test_legacy_h5_neighbor_string_parsing(monkeypatch):

@@ -206,46 +206,52 @@ def fit_an_ellipse(X, Y, norm_factor: float = 1.0):
     params = params.squeeze()
     chi_sqr = float(chi[0]) if chi.size else 0.0
     cov = np.linalg.inv(A.T @ A)
-    a = params[0] * params[4] ** 2 + params[2] * params[3] ** 2 \
-        - params[1] * params[3] * params[4] - params[1] ** 2 \
-        + 4 * params[0] * params[2]
-    q = np.sqrt((params[0] - params[2]) ** 2 + params[1] ** 2)
-    bplus = params[0] + params[2] + q
-    bminus = params[0] + params[2] - q
-    c = params[1] ** 2 - 4 * params[0] * params[2]
-    sqrt_2abplus = np.sqrt(2 * a * bplus)
-    sqrt_2abminus = np.sqrt(2 * a * bminus)
-    semi_major = -sqrt_2abplus / c
-    semi_minor = -sqrt_2abminus / c
-    center_x = (2 * params[2] * params[3] - params[1] * params[4]) / c
-    center_y = (2 * params[0] * params[4] - params[1] * params[3]) / c
-    phi = (params[2] - params[0] - q) / params[1] if params[1] != 0 else 0.0
-    rotating_angle = np.arctan(phi) if params[1] != 0 else \
-        (0.0 if params[0] < params[2] else np.pi / 2)
+    # Conic qa*x^2 + qb*x*y + qc*y^2 + qd*x + qe*y = 1 -> canonical form via the
+    # standard conic-to-ellipse algebra. Writing lam+- = qa + qc +- root (the
+    # scaled eigenvalues of the quadratic part), det4 = qb^2 - 4*qa*qc and
+    # num = qa*qe^2 + qc*qd^2 - qb*qd*qe - qb^2 + 4*qa*qc:
+    #   semi axes = -sqrt(2*num*lam+-)/det4, center = (gradient zero point).
+    qa, qb, qc, qd, qe = params
+    num = qa * qe ** 2 + qc * qd ** 2 - qb * qd * qe - qb ** 2 + 4 * qa * qc
+    root = np.hypot(qa - qc, qb)
+    lam_plus = qa + qc + root
+    lam_minus = qa + qc - root
+    det4 = qb ** 2 - 4 * qa * qc
+    rad_plus = np.sqrt(2 * num * lam_plus)
+    rad_minus = np.sqrt(2 * num * lam_minus)
+    semi_major = -rad_plus / det4
+    semi_minor = -rad_minus / det4
+    center_x = (2 * qc * qd - qb * qe) / det4
+    center_y = (2 * qa * qe - qb * qd) / det4
+    tanphi = (qc - qa - root) / qb if qb != 0 else 0.0
+    rotating_angle = np.arctan(tanphi) if qb != 0 else \
+        (0.0 if qa < qc else np.pi / 2)
     eccentricity = 2 * (semi_major / semi_minor - 1) / 3
-    ader = np.array([params[4] ** 2 + 4 * params[2],
-                     -params[3] * params[4] - 2 * params[1],
-                     params[3] ** 2 + 4 * params[0],
-                     2 * params[2] * params[3] - params[1] * params[4],
-                     2 * params[0] * params[4] - params[1] * params[3]])
-    bplusder = np.array([1 + (params[0] - params[2]) / q, params[1] / q,
-                         1 - (params[0] - params[2]) / q, 0, 0])
-    bminusder = np.array([1 - (params[0] - params[2]) / q, -params[1] / q,
-                          1 + (params[0] - params[2]) / q, 0, 0])
-    cder = np.array([-4 * params[2], 2 * params[1], -4 * params[0], 0, 0])
-    phider = np.array([(-1 - (params[0] - params[2]) / q) / params[1],
-                       -phi / params[1] - 1 / q,
-                       (1 + (params[0] - params[2]) / q) / params[1], 0, 0]) \
-        if params[1] != 0 else np.zeros(5)
-    semi_minor_der = (sqrt_2abminus / c ** 2) * cder \
-        - 2 * (bminus * ader + a * bminusder) / (sqrt_2abminus * c)
-    semi_major_der = (sqrt_2abplus / c ** 2) * cder \
-        - 2 * (bplus * ader + a * bplusder) / (sqrt_2abplus * c)
-    center_x_der = np.array([0, -params[4], 2 * params[3], 2 * params[2],
-                             -params[1]]) / c - (center_x / c) * cder
-    center_y_der = np.array([2 * params[4], -params[3], 0, -params[1],
-                             2 * params[0]]) / c - (center_y / c) * cder
-    rotating_angle_der = (1 / (1 + phi ** 2)) * phider
+    # error propagation: gradients of each intermediate w.r.t. (qa,qb,qc,qd,qe),
+    # chained into the canonical parameters, then sigma = sqrt(g^T cov g)
+    g_num = np.array([qe ** 2 + 4 * qc,
+                      -qd * qe - 2 * qb,
+                      qd ** 2 + 4 * qa,
+                      2 * qc * qd - qb * qe,
+                      2 * qa * qe - qb * qd])
+    g_lam_plus = np.array([1 + (qa - qc) / root, qb / root,
+                           1 - (qa - qc) / root, 0, 0])
+    g_lam_minus = np.array([1 - (qa - qc) / root, -qb / root,
+                            1 + (qa - qc) / root, 0, 0])
+    g_det4 = np.array([-4 * qc, 2 * qb, -4 * qa, 0, 0])
+    g_tanphi = np.array([(-1 - (qa - qc) / root) / qb,
+                         -tanphi / qb - 1 / root,
+                         (1 + (qa - qc) / root) / qb, 0, 0]) \
+        if qb != 0 else np.zeros(5)
+    semi_minor_der = (rad_minus / det4 ** 2) * g_det4 \
+        - 2 * (lam_minus * g_num + num * g_lam_minus) / (rad_minus * det4)
+    semi_major_der = (rad_plus / det4 ** 2) * g_det4 \
+        - 2 * (lam_plus * g_num + num * g_lam_plus) / (rad_plus * det4)
+    center_x_der = np.array([0, -qe, 2 * qd, 2 * qc, -qb]) / det4 \
+        - (center_x / det4) * g_det4
+    center_y_der = np.array([2 * qe, -qd, 0, -qb, 2 * qa]) / det4 \
+        - (center_y / det4) * g_det4
+    rotating_angle_der = (1 / (1 + tanphi ** 2)) * g_tanphi
     eccentricity_der = 2 * (semi_major_der / semi_minor
                             - semi_minor_der * semi_major / semi_minor ** 2) / 3
     errs = {name: calc_standard_error(d, cov) for name, d in [

@@ -108,6 +108,7 @@ class Tissue:
         self.valid_frames = np.ones((number_of_frames,), int)
         self.shape_fitting_results: List[Dict] = [dict() for _ in range(number_of_frames)]
         self.cells_number = 0
+        self._cells_number_dirty = True
         self._labels: List[Optional[np.ndarray]] = [None] * number_of_frames
         self._cell_types: List[Optional[np.ndarray]] = [None] * number_of_frames
         self._tables: List[Optional[CellTable]] = [None] * number_of_frames
@@ -158,12 +159,15 @@ class Tissue:
     def _read_artifact(self, kind: str, i: int):
         path = self._artifact_path(kind, i)
         if kind == "data":
+            # swap only the extension: a working dir whose NAME contains "pkl"
+            # must not perturb the legacy-h5 probe path
+            h5_path = os.path.splitext(path)[0] + ".h5"
             if os.path.isfile(path):
                 df = pd.read_pickle(path)
-            elif os.path.isfile(path.replace("pkl", "h5")):
+            elif os.path.isfile(h5_path):
                 # h5-era frame data (reference tissue_info.py:3507-3517):
                 # string-encoded neighbor sets, pandas HDF store
-                df = self._read_legacy_h5(path.replace("pkl", "h5"))
+                df = self._read_legacy_h5(h5_path)
             else:
                 return None
             if len(df) and isinstance(df["type"].iloc[0], str):
@@ -173,14 +177,10 @@ class Tissue:
                                          max_neighbors=self.max_neighbors)
         if not os.path.isfile(path):
             return None
-        arr = np.load(path)
-        if kind == "types" and arr.size and 0 <= arr.min() and arr.max() <= 2:
-            # pre-bitmask cell-types map (reference tissue_info.py:4216-4228):
-            # 0 = invalid -> 255, 2 -> 0, 1 stays bit0
-            arr = arr.copy()
-            arr[arr == 0] = 255
-            arr[arr == 2] = 0
-        return arr
+        # NOTE: no format migration here — swap-mode round-trips of our own
+        # writes must be identity. Legacy (pre-bitmask) archives are migrated
+        # once, at load() time, keyed on the absence of the format marker.
+        return np.load(path)
 
     @staticmethod
     def _read_legacy_h5(path: str) -> pd.DataFrame:
@@ -263,6 +263,7 @@ class Tissue:
         if self._swap:
             self._swap_to("data", frame - 1)
         self._tables[frame - 1] = table
+        self._cells_number_dirty = True
 
     def is_frame_valid(self, frame: int) -> bool:
         return bool(self.valid_frames[frame - 1] == 1) if 1 <= frame <= self.number_of_frames else False
@@ -517,10 +518,15 @@ class Tissue:
         return float(np.asarray(table.cx)[i]), float(np.asarray(table.cy)[i])
 
     def get_cells_number(self) -> int:
+        # the all-frames scan is T disk round-trips in swap mode; cache it and
+        # re-scan only after a table changed (set_cells_info marks dirty)
+        if not self._cells_number_dirty:
+            return self.cells_number
         for f in range(self.number_of_frames, 0, -1):
             t = self.get_cells_info(f)
             if t is not None:
                 self.cells_number = max(self.cells_number, int(np.asarray(t.label).max()))
+        self._cells_number_dirty = False
         return self.cells_number
 
     def calc_neighbors_contact_matrix(self, frame: int) -> np.ndarray:
@@ -850,6 +856,8 @@ class Tissue:
                           ("fake_channels.pkl", self.fake_channels)]:
             with open(os.path.join(wd, name), "wb") as fp:
                 pickle.dump(obj, fp)
+        with open(os.path.join(wd, self._FORMAT_MARKER), "w") as fp:
+            json.dump({"format": 1}, fp)
 
     def save(self, path: str) -> Iterator[float]:
         """Flush artifacts and zip into a .seg archive (reference
@@ -858,11 +866,35 @@ class Tissue:
         target = path if path.endswith(".seg") else path + ".seg"
         yield from pack_archive_with_progress(self.working_dir, target)
 
+    # archives we write carry this marker; its absence identifies a legacy
+    # (reference-written) .seg whose types maps need the pre-bitmask migration
+    _FORMAT_MARKER = "tip_tpu_format.json"
+
+    @staticmethod
+    def _migrate_legacy_types_dir(wd: str) -> None:
+        """One-time in-place migration of pre-bitmask cell-types maps
+        (reference tissue_info.py:4216-4228): 0 = invalid -> 255, 2 -> 0,
+        1 stays bit 0. Only maps that look pre-bitmask (all values in
+        {0, 1, 2}) are touched."""
+        import glob
+        for p in glob.glob(os.path.join(wd, "frame_*_types.npy")):
+            arr = np.load(p)
+            if arr.size and 0 <= arr.min() and arr.max() <= 2:
+                arr = arr.copy()
+                arr[arr == 0] = 255
+                arr[arr == 2] = 0
+                np.save(p, arr)
+
     def load(self, path: str) -> Iterator[float]:
         """Load a .seg archive (reference ``tissue_info.py:3731-3756``)."""
         wd = get_temp_directory(self.data_path or "session")
         os.makedirs(wd, exist_ok=True)
         yield from unpack_archive_with_progress(path, wd)
+        marker = os.path.join(wd, self._FORMAT_MARKER)
+        if not os.path.isfile(marker):
+            self._migrate_legacy_types_dir(wd)
+            with open(marker, "w") as fp:
+                json.dump({"format": 1}, fp)
         if self.working_dir and os.path.isdir(self.working_dir):
             shutil.rmtree(self.working_dir, ignore_errors=True)
         self.working_dir = wd
@@ -870,6 +902,7 @@ class Tissue:
         self._cell_types = [None] * self.number_of_frames
         self._tables = [None] * self.number_of_frames
         self._mem = {"labels": -1, "types": -1, "data": -1}
+        self._cells_number_dirty = True
         if not self._swap:
             for i in range(self.number_of_frames):
                 self._labels[i] = self._read_artifact("labels", i)

@@ -153,12 +153,23 @@ class CziFile:
 
     # -- dimension model ------------------------------------------------------
 
-    def dims(self) -> Dict[str, int]:
-        """Overall size per dimension (max start+size over subblocks)."""
+    def dim_origins(self) -> Dict[str, int]:
+        """Minimum start per dimension — mosaics acquired with a non-zero
+        global stage offset place tiles at large raw X/Y starts; all reads
+        normalize by subtracting these."""
         out: Dict[str, int] = {}
         for sb in self.subblocks:
+            for name, (start, _size) in sb.dims.items():
+                out[name] = min(out.get(name, start), start)
+        return out
+
+    def dims(self) -> Dict[str, int]:
+        """Overall EXTENT per dimension: max(start+size) - min(start)."""
+        out: Dict[str, int] = {}
+        origins = self.dim_origins()
+        for sb in self.subblocks:
             for name, (start, size) in sb.dims.items():
-                out[name] = max(out.get(name, 0), start + size)
+                out[name] = max(out.get(name, 0), start + size - origins[name])
         return out
 
     def shape_tczyx(self) -> Tuple[int, int, int, int, int]:
@@ -205,17 +216,19 @@ class CziFile:
         mosaic tiles land at their X/Y start offsets. Only the needed subblocks
         are touched (lazy)."""
         d = self.dims()
+        org = self.dim_origins()
         out = np.zeros((max(d.get("Y", 1), 1), max(d.get("X", 1), 1)),
                        self.dtype)
         found = False
         for sb in self.subblocks:
-            if (sb.coord("T") != t and "T" in sb.dims) or \
-               (sb.coord("C") != c and "C" in sb.dims) or \
-               (sb.coord("Z") != z and "Z" in sb.dims) or \
-               (sb.coord("S") != s and "S" in sb.dims):
+            if (sb.coord("T") - org.get("T", 0) != t and "T" in sb.dims) or \
+               (sb.coord("C") - org.get("C", 0) != c and "C" in sb.dims) or \
+               (sb.coord("Z") - org.get("Z", 0) != z and "Z" in sb.dims) or \
+               (sb.coord("S") - org.get("S", 0) != s and "S" in sb.dims):
                 continue
             px = self._subblock_pixels(sb)
-            y0, x0 = sb.coord("Y"), sb.coord("X")
+            y0 = sb.coord("Y") - org.get("Y", 0)
+            x0 = sb.coord("X") - org.get("X", 0)
             out[y0:y0 + px.shape[0], x0:x0 + px.shape[1]] = px
             found = True
         if not found:
@@ -230,7 +243,10 @@ class CziFile:
         for t in range(T):
             for c in range(C):
                 for z in range(Z):
-                    out[t, c, z] = self.read_frame(t, c, z, s)
+                    try:
+                        out[t, c, z] = self.read_frame(t, c, z, s)
+                    except IndexError:
+                        pass  # truncated/sparse acquisition: leave plane zero
         return out
 
     def close(self):
@@ -276,7 +292,10 @@ def czi_to_store(paths, out_path: str, pad_to_max: bool = True):
                 frame = np.zeros((C, Z, Y, X), files[0].dtype)
                 for ci in range(c):
                     for zi in range(z):
-                        plane = f.read_frame(t, ci, zi)
+                        try:
+                            plane = f.read_frame(t, ci, zi)
+                        except IndexError:
+                            continue  # sparse acquisition: leave plane zero
                         frame[ci, zi, :plane.shape[0], :plane.shape[1]] = plane
                 store.write_frame(t_out, frame)
                 t_out += 1

@@ -23,7 +23,32 @@ from tissue_image_processing_tpu.io.movie import MovieStore, concatenate_time_po
 from tissue_image_processing_tpu.io.tiff import save_tiff
 from tissue_image_processing_tpu.projection.surface import movie_projection_batch
 
-__all__ = ["movie_surface_projection", "large_image_projection", "project_movie_array"]
+__all__ = ["movie_surface_projection", "large_image_projection",
+           "project_movie_array", "update_projection_metadata"]
+
+
+def update_projection_metadata(path: str, size_t: Optional[int] = None,
+                               physical_pixel_sizes=None) -> dict:
+    """Rewrite SizeT / physical pixel sizes into a saved projection TIFF
+    (reference ``update_projection_metadata``, ``surface_projection.py:319-327``)
+    so downstream stage-prior code has an in-TIFF fallback when the
+    ``stage_locations_*.pkl`` sidecar is missing. ``physical_pixel_sizes`` is
+    (Z, Y, X) in micrometers. Returns the merged metadata dict."""
+    from tissue_image_processing_tpu.io.tiff import read_tiff
+
+    arr, axes, _shape, meta = read_tiff(path)
+    meta = dict(meta or {})
+    if size_t is not None:
+        meta["SizeT"] = int(size_t)
+    if physical_pixel_sizes is not None:
+        z, y, x = physical_pixel_sizes
+        meta["physical_size_z"] = float(z)
+        meta["physical_size_y"] = float(y)
+        meta["physical_size_x"] = float(x)
+    meta.pop("axes", None)
+    meta.pop("shape", None)
+    save_tiff(path, arr, metadata=meta, axes=axes)
+    return meta
 
 
 def project_movie_array(
@@ -74,6 +99,7 @@ def movie_surface_projection(
     output_name: str = "",
     batch: int = 4,
     metrics=None,
+    physical_pixel_sizes=None,
 ) -> None:
     """Project a list of movie files (one position each, or TCZYX stores) into
     per-position projection TIFFs + z-map sidecars (reference
@@ -129,8 +155,16 @@ def movie_surface_projection(
             continue
         with metrics.stage("concat_save", position=position + 1):
             movie_projection = concatenate_time_points(projection_files[position])
+            # SizeT + physical pixel sizes ride in the TIFF itself (reference
+            # update_projection_metadata, surface_projection.py:319-327)
+            meta = {"SizeT": int(movie_projection.shape[0])}
+            if physical_pixel_sizes is not None:
+                z, y, x = physical_pixel_sizes
+                meta.update(physical_size_z=float(z), physical_size_y=float(y),
+                            physical_size_x=float(x))
             save_tiff(os.path.join(output_dir, output_name + "position%d.tif" % (position + 1)),
-                      movie_projection, axes="TCYX", data_type="uint16")
+                      movie_projection, metadata=meta, axes="TCYX",
+                      data_type="uint16")
             movie_zmap = np.concatenate(
                 [np.load(f).astype("uint16") for f in zmap_files[position]], axis=0)
             np.save(os.path.join(output_dir, output_name + "zmap_position%d.npy" % (position + 1)),

@@ -10,10 +10,11 @@ Rebuild of the reference's test selectors (``statistical_analysis.py:220-885``):
   so the two-way ANOVA, SRH and Dunn tests are computed directly (standard formulas
   on sums of squares / rank sums); Tukey uses scipy.stats.tukey_hsd.
 - ``HierarchicalTwoSamplesCompare``: the reference's GLMM model-selection pipeline
-  (``:653-885``) approximated without statsmodels: counts are checked for
-  overdispersion/zero inflation and compared by a quasi-Poisson rate test;
-  continuous data use per-group (biological repeat) means with Welch's t
-  — the standard summary-statistics approximation of a random-intercept model.
+  (``:653-885``), with the model fits implemented directly in ``stats/glm.py``
+  (statsmodels is not available in this environment): counts route to
+  Poisson / negative-binomial / ZIP / ZINB by overdispersion and zero-inflation
+  checks, continuous data to LMM / log-LMM / Gamma / InvGauss GLM by Shapiro +
+  skew — real IRLS / ML / REML fits, with Wald z on the stage coefficient.
 """
 
 from __future__ import annotations
@@ -281,7 +282,11 @@ class HierarchicalTwoSamplesCompare:
         # continuous: Shapiro + skew routing, identical branch order to the
         # reference (p_norm > 0.05 & |skew| < 1 -> LMM; all positive -> log-LMM;
         # else skew > 2 -> InvGauss GLM, otherwise Gamma GLM)
-        p_norm = float(stats.shapiro(y if y.size <= 5000 else y[:5000])[1])
+        # subsample at random for huge n — taking the FIRST 5000 of
+        # concat(g1, g2) would test one group only
+        y_norm = (y if y.size <= 5000 else
+                  y[np.random.default_rng(0).choice(y.size, 5000, replace=False)])
+        p_norm = float(stats.shapiro(y_norm)[1])
         sk = float(stats.skew(y))
         if p_norm > 0.05 and abs(sk) < 1:
             model, family = fit_lmm(y, X, rep), "LMM (normal)"
