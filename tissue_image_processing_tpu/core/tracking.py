@@ -290,11 +290,21 @@ def track_movie(
 def track_movie_nearest_pixel(labels_stack: np.ndarray, cy: np.ndarray,
                               cx: np.ndarray, mask: np.ndarray,
                               drifts: Optional[np.ndarray] = None,
-                              frame_valid: Optional[np.ndarray] = None) -> np.ndarray:
+                              frame_valid: Optional[np.ndarray] = None,
+                              images: Optional[np.ndarray] = None,
+                              use_flow: bool = False) -> np.ndarray:
     """Legacy nearest-pixel tracker (reference ``track_cells_iterator``,
     ``tissue_info.py:2037-2113``): each previous-frame centroid, shifted by the
     drift, samples the 3x3-dilated current label map; duplicate assignments are
     deduped (first occurrence wins), unmatched cells get fresh ids.
+
+    With ``use_flow=True`` and ``images`` (T, H, W), the single global drift is
+    replaced by a dense per-pixel TV-L1 optical-flow map sampled at each
+    previous centroid — the reference's ``use_piv`` branch
+    (``tissue_info.py:2061-2071``) for movies where stage correction fails
+    (nonuniform tissue motion). Flow is ``optical_flow_tvl1(cur, prev)``, so the
+    cell at previous position ``y`` is looked up at ``y - flow(y)``
+    (see ``ops/optical_flow.py`` for the sign convention).
 
     Host-side alternative to the auction tracker, kept for API parity. Arrays:
     labels_stack (T, H, W) int; cy/cx/mask (T, N) padded per-frame tables.
@@ -307,6 +317,8 @@ def track_movie_nearest_pixel(labels_stack: np.ndarray, cy: np.ndarray,
         drifts = np.zeros((T, 2))
     if frame_valid is None:
         frame_valid = np.ones((T,), bool)
+    if use_flow and images is None:
+        raise ValueError("use_flow=True requires images")
     ids = np.zeros((T, N), np.int64)
     first = next((t for t in range(T) if frame_valid[t]), None)
     if first is None:
@@ -319,8 +331,19 @@ def track_movie_nearest_pixel(labels_stack: np.ndarray, cy: np.ndarray,
         if not frame_valid[t]:
             continue
         dil = ndi_max(labels_stack[t], size=(3, 3), mode="constant")
-        py = np.round(cy[prev] - drifts[t, 0]).astype(int)
-        px = np.round(cx[prev] - drifts[t, 1]).astype(int)
+        if use_flow:
+            from tissue_image_processing_tpu.ops.optical_flow import (
+                optical_flow_tvl1)
+
+            flow = np.asarray(optical_flow_tvl1(jnp.asarray(images[t]),
+                                                jnp.asarray(images[prev])))
+            iy = np.clip(np.round(cy[prev]).astype(int), 0, flow.shape[1] - 1)
+            ix = np.clip(np.round(cx[prev]).astype(int), 0, flow.shape[2] - 1)
+            py = np.round(cy[prev] - flow[0, iy, ix]).astype(int)
+            px = np.round(cx[prev] - flow[1, iy, ix]).astype(int)
+        else:
+            py = np.round(cy[prev] - drifts[t, 0]).astype(int)
+            px = np.round(cx[prev] - drifts[t, 1]).astype(int)
         H, W = dil.shape
         ok = mask[prev] & (py >= 0) & (py < H) & (px >= 0) & (px < W)
         cur_rows = np.full(N, -1)
@@ -416,6 +439,7 @@ def adaptive_effective_ranges(cy: np.ndarray, cx: np.ndarray, area: np.ndarray,
     """
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components as _cc
+    from scipy.spatial import cKDTree
 
     T, N = cy.shape
     if drifts is None:
@@ -425,17 +449,22 @@ def adaptive_effective_ranges(cy: np.ndarray, cx: np.ndarray, area: np.ndarray,
     prev = None
     for t in range(T):
         rows = np.nonzero(mask[t])[0]
-        cur = (cy[t, rows] + cum[t, 0], cx[t, rows] + cum[t, 1],
-               np.sqrt(np.maximum(area[t, rows], 0.0)))
-        if prev is not None and len(rows) and len(prev[0]):
-            d2 = ((cur[0][:, None] - prev[0][None, :]) ** 2
-                  + (cur[1][:, None] - prev[1][None, :]) ** 2
-                  + area_weight * (cur[2][:, None] - prev[2][None, :]) ** 2)
+        # the link metric sqrt(dy^2 + dx^2 + w*(sqrt(a1)-sqrt(a2))^2) is plain
+        # Euclidean in (y, x, sqrt(w)*sqrt(area)) space, so kd-trees apply
+        cur = np.stack([cy[t, rows] + cum[t, 0], cx[t, rows] + cum[t, 1],
+                        np.sqrt(area_weight)
+                        * np.sqrt(np.maximum(area[t, rows], 0.0))], axis=1)
+        if prev is not None and len(cur) and len(prev):
+            m, k = len(cur), len(prev)
+            # candidate pairs once at the nominal radius (sparse, O(N * nbrs)
+            # instead of the dense N^2 matrix); the shrink loop just filters
+            d_coo = cKDTree(cur).sparse_distance_matrix(
+                cKDTree(prev), float(search_range), output_type="coo_matrix")
+            ci, ti, dist = d_coo.row, d_coo.col, d_coo.data
             r = float(search_range)
-            m, k = d2.shape
             while r * adaptive_step >= adaptive_stop:
-                ci, ti = np.nonzero(d2 < r * r)
-                g = coo_matrix((np.ones(len(ci)), (ci, m + ti)),
+                sel = dist < r
+                g = coo_matrix((np.ones(sel.sum()), (ci[sel], m + ti[sel])),
                                shape=(m + k, m + k))
                 ncomp, comp = _cc(g, directed=False)
                 sizes = np.bincount(comp[:m], minlength=ncomp)
