@@ -150,8 +150,12 @@ class TissueViewer:
             if self._pending_point is None:
                 self._pending_point = point_xy
                 return 0
+            # two-click line = a one-segment drag: initial (snapshots undo
+            # state) AND final (runs the split + table refresh) in one call,
+            # like the reference's press->release pair (gui.py:787-800)
             rc = self.editor.add_segmentation_line(
-                self.frame, self._pending_point, point_xy)
+                self.frame, self._pending_point, point_xy,
+                initial=True, final=True)
             self._pending_point = None
         elif self.mode == "remove_line":
             rc = self.editor.remove_segmentation_line(self.frame, point_xy)
