@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_frame_mesh", "sharded_movie_pipeline"]
+__all__ = ["make_frame_mesh", "sharded_movie_pipeline",
+           "sharded_unet_pipeline"]
 
 
 def make_frame_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -81,21 +82,85 @@ def sharded_movie_pipeline(
 
     def shard_fn(movie_shard):  # (T/n, C, Z, H, W) on each device
         ref, cy, cx, area, mask = jax.lax.map(one_frame, movie_shard)
-        # frame halo of 1: previous device's last projection, over ICI
-        prev_last = jax.lax.ppermute(
-            ref[-1], "frame", [(i, (i + 1) % n) for i in range(n)])
-        prev = jnp.concatenate([prev_last[None], ref[:-1]], axis=0)
-        f = functools.partial(phase_cross_correlation,
-                              upsample_factor=upsample_factor)
-        shifts = jax.vmap(f)(prev, ref)  # (T/n, 2)
-        gather = lambda x: jax.lax.all_gather(x, "frame", tiled=True)
-        cy_a, cx_a, area_a, mask_a, drifts = map(
-            gather, (cy, cx, area, mask, shifts))
-        # global frame 0 has no predecessor (its ppermute input wrapped around)
-        drifts = drifts.at[0].set(0.0)
-        return track_movie(cy_a, cx_a, area_a, mask_a, drifts=drifts,
-                           capacity=track_cap)
+        return _drift_track_tail(ref, cy, cx, area, mask, n=n,
+                                 upsample_factor=upsample_factor,
+                                 track_cap=track_cap)
 
     fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=P("frame"), out_specs=P(),
                        check_vma=False)
+    return jax.jit(fn)
+
+
+def _drift_track_tail(ref, cy, cx, area, mask, n, upsample_factor, track_cap):
+    """Shared pipeline tail inside shard_map: ppermute frame halo for drift,
+    all_gather the O(capacity) tables, replicated tracking scan."""
+    from tissue_image_processing_tpu.core.tracking import track_movie
+    from tissue_image_processing_tpu.ops.drift import phase_cross_correlation
+
+    # frame halo of 1: previous device's last projection, over ICI
+    prev_last = jax.lax.ppermute(
+        ref[-1], "frame", [(i, (i + 1) % n) for i in range(n)])
+    prev = jnp.concatenate([prev_last[None], ref[:-1]], axis=0)
+    f = functools.partial(phase_cross_correlation,
+                          upsample_factor=upsample_factor)
+    shifts = jax.vmap(f)(prev, ref)  # (T/n, 2)
+    gather = lambda x: jax.lax.all_gather(x, "frame", tiled=True)
+    cy_a, cx_a, area_a, mask_a, drifts = map(
+        gather, (cy, cx, area, mask, shifts))
+    # global frame 0 has no predecessor (its ppermute input wrapped around)
+    drifts = drifts.at[0].set(0.0)
+    return track_movie(cy_a, cx_a, area_a, mask_a, drifts=drifts,
+                       capacity=track_cap)
+
+
+def sharded_unet_pipeline(
+    mesh: Mesh,
+    model,
+    capacity: int = 256,
+    track_capacity: Optional[int] = None,
+    reference_channel: int = 0,
+    airyscan: bool = False,
+    upsample_factor: int = 100,
+):
+    """The ML-segmentation variant of :func:`sharded_movie_pipeline`:
+    proj -> normalize -> U-Net -> postprocess -> cellinfo -> drift -> track,
+    frame-sharded (VERDICT r2 item 6 / SURVEY §5.8 mesh plan).
+
+    Returns a jitted ``fn(variables, movie) -> (T, capacity) track ids``.
+    U-Net weights are REPLICATED (in_specs P() — they are ~100 MB bf16, far
+    smaller than the sharded pixel data; model-parallel sharding of the convs
+    belongs to training, ``parallel/mesh.py``) while every per-frame tensor is
+    sharded over ``frame``. Mirrors the reference's prediction path
+    (``prediction_local.py:124-199`` -> ``tissue_info.py:880-909``).
+    """
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+    from tissue_image_processing_tpu.models.predictor import unet_postprocess
+    from tissue_image_processing_tpu.ops.brightness import normalize_channel
+    from tissue_image_processing_tpu.projection.surface import (
+        time_point_surface_projection)
+
+    n = mesh.shape["frame"]
+    track_cap = track_capacity or 2 * capacity
+
+    def one_frame(variables, stack):
+        stack = stack.astype(jnp.float32)
+        proj, _ = time_point_surface_projection(
+            stack, reference_channel=reference_channel, airyscan=airyscan)
+        norm = jax.vmap(normalize_channel)(proj)       # (C, H, W) in [0, 1]
+        x = jnp.transpose(norm, (1, 2, 0))             # NHWC for the convs
+        pred = model.apply(variables, x[None], train=False)[0]
+        labels, _hc = unet_postprocess(pred.astype(jnp.float32))
+        table = frame_cellinfo(labels, capacity=capacity)
+        return (proj[reference_channel], table.cy, table.cx, table.area,
+                table.valid_mask())
+
+    def shard_fn(variables, movie_shard):
+        ref, cy, cx, area, mask = jax.lax.map(
+            functools.partial(one_frame, variables), movie_shard)
+        return _drift_track_tail(ref, cy, cx, area, mask, n=n,
+                                 upsample_factor=upsample_factor,
+                                 track_cap=track_cap)
+
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P(), P("frame")),
+                       out_specs=P(), check_vma=False)
     return jax.jit(fn)
