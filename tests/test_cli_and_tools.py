@@ -77,6 +77,19 @@ def test_cli_pipeline(tmp_path):
     assert os.path.exists(os.path.join(outdir, "export.mat"))
     assert main(["analyze", "--session", session, "--capacity", "256",
                  "--frames", "3", "--feature", "area"]) == 0
+    # --interactive embeds a console over the session objects (gui.py:288-298
+    # analog); stub the embedder and check the namespace it receives
+    import tissue_image_processing_tpu.cli as climod
+    seen = {}
+    orig = climod._embed_console
+    climod._embed_console = lambda ns: seen.update(ns)
+    try:
+        assert main(["analyze", "--session", session, "--capacity", "256",
+                     "--frames", "3", "--feature", "area",
+                     "--interactive"]) == 0
+    finally:
+        climod._embed_console = orig
+    assert "tissue" in seen and "df" in seen and len(seen["df"]) > 0
 
 
 def test_maintenance_fixups():

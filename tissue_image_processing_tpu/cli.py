@@ -165,6 +165,22 @@ def cmd_analyze(args):
     if args.out:
         from tissue_image_processing_tpu.core.export import write_table
         write_table(df, args.out)
+    if getattr(args, "interactive", False):
+        _embed_console({"tissue": tissue, "df": df, "args": args})
+
+
+def _embed_console(ns):
+    """Live console over the session objects — the analog of the reference's
+    embedded Jupyter console (``gui.py:288-298``): IPython when present,
+    code.interact otherwise."""
+    banner = ("tissue_image_processing_tpu interactive session\n"
+              f"objects: {', '.join(sorted(ns))}")
+    try:
+        from IPython import embed
+        embed(banner1=banner, user_ns=ns, colors="neutral")
+    except ImportError:
+        import code
+        code.interact(banner=banner, local=ns)
 
 
 def build_parser():
@@ -245,6 +261,9 @@ def build_parser():
     common(sp, movie=False)
     sp.add_argument("--feature", default="area")
     sp.add_argument("--out", default=None)
+    sp.add_argument("--interactive", action="store_true",
+                    help="drop into a live console (IPython if installed) "
+                         "with the session objects after the analysis")
     sp.set_defaults(fn=cmd_analyze)
     return p
 
