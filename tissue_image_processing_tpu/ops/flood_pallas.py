@@ -63,10 +63,12 @@ _VMEM_LIMIT = 112 * 1024 * 1024
 
 def pallas_flood_supported(shape) -> bool:
     """Exact-shape gate: row blocks of 64, lane-aligned width, state fits VMEM
-    (2048^2 x 12 B = 48 MB resident). Unaligned shapes pad-and-crop one level up
-    (ops/watershed.py) rather than falling to the ~10x slower XLA sweep path."""
+    (cap 4352x1024 px ~= 4.45 M: settle holds 12 B/px in + 8 B/px out + halos
+    ~= 96 MB under the 112 MB limit; 2048^2 = 4.19 M also fits). Unaligned
+    shapes pad-and-crop one level up (ops/watershed.py) rather than falling to
+    the ~10x slower XLA sweep path; frame batches stack rows (watershed_batch)."""
     H, W = shape
-    return (H % _BLOCK == 0) and (W % 128 == 0) and H * W <= 2048 * 2048 and W <= 2048
+    return (H % _BLOCK == 0) and (W % 128 == 0) and H * W <= 4352 * 1024 and W <= 2048
 
 
 def _shift_rows(x, down: bool, edge):
@@ -84,8 +86,17 @@ def _shift_cols(x, right: bool, fill):
                             jnp.full((x.shape[0], 1), fill, x.dtype)], axis=1)
 
 
-def _bf_kernel(img_ref, lam_in_ref, lam_ref, halo_ref):
-    """lam <- min(lam, max(shift(lam), img)) iterated to fixpoint, in VMEM."""
+def _bf_kernel(img_ref, lam_in_ref, lam_ref, halo_ref, flags_ref, nflags_ref):
+    """lam <- min(lam, max(shift(lam), img)) iterated to fixpoint, in VMEM.
+
+    Per-block activity flags at BATCH granularity: a block runs a batch only
+    if it or a row-neighbor changed during the previous batch. Change is
+    detected on the batch's LAST sweep only (per-block jnp.any — the same
+    reduction the ungated kernel already paid): a block quiet on the last
+    sweep is at a local fixpoint for its current halo, and any future halo
+    change first sets a neighbor's flag, which re-activates this block one
+    batch later (monotone updates, so delayed re-activation converges to the
+    same fixpoint)."""
     H, W = img_ref.shape
     n_blocks = H // _BLOCK
     inf = jnp.float32(jnp.inf)
@@ -96,31 +107,51 @@ def _bf_kernel(img_ref, lam_in_ref, lam_ref, halo_ref):
     for b in range(n_blocks):
         r0 = b * _BLOCK
         lam_ref[pl.ds(r0, _BLOCK), :] = lam_in_ref[pl.ds(r0, _BLOCK), :]
+        flags_ref[b] = jnp.int32(1)
 
     def sweep_batch(carry):
         _, it = carry
-        changed = jnp.bool_(False)
+        # stash run-decisions first (they read flags of BOTH neighbors), then
+        # zero flags — the last sweep re-sets them for still-active blocks
+        for b in range(n_blocks):
+            near = flags_ref[b]
+            if b > 0:
+                near = near + flags_ref[b - 1]
+            if b < n_blocks - 1:
+                near = near + flags_ref[b + 1]
+            nflags_ref[b] = near
+        for b in range(n_blocks):
+            flags_ref[b] = jnp.int32(0)
         for s in range(_SWEEP_BATCH):
             last = s == _SWEEP_BATCH - 1
             # snapshot block-boundary halo rows (pre-sweep) for Jacobi semantics
             for b in range(n_blocks):
-                halo_ref[2 * b, :] = lam_ref[b * _BLOCK, :]
-                halo_ref[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
+                @pl.when(nflags_ref[b] > 0)
+                def _halo(b=b):
+                    halo_ref[2 * b, :] = lam_ref[b * _BLOCK, :]
+                    halo_ref[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
             for b in range(n_blocks):
-                r0 = b * _BLOCK
-                lam = lam_ref[pl.ds(r0, _BLOCK), :]
-                img = img_ref[pl.ds(r0, _BLOCK), :]
-                up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), inf)
-                dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), inf)
-                cand = jnp.minimum(
-                    jnp.minimum(_shift_rows(lam, True, up_edge),
-                                _shift_rows(lam, False, dn_edge)),
-                    jnp.minimum(_shift_cols(lam, True, inf),
-                                _shift_cols(lam, False, inf)))
-                new = jnp.minimum(lam, jnp.maximum(cand, img))
-                if last:
-                    changed = changed | jnp.any(new < lam)
-                lam_ref[pl.ds(r0, _BLOCK), :] = new
+                @pl.when(nflags_ref[b] > 0)
+                def _run(b=b, last=last):
+                    r0 = b * _BLOCK
+                    lam = lam_ref[pl.ds(r0, _BLOCK), :]
+                    img = img_ref[pl.ds(r0, _BLOCK), :]
+                    up_edge = halo_ref[2 * b - 1, :] if b > 0 \
+                        else jnp.full((W,), inf)
+                    dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 \
+                        else jnp.full((W,), inf)
+                    cand = jnp.minimum(
+                        jnp.minimum(_shift_rows(lam, True, up_edge),
+                                    _shift_rows(lam, False, dn_edge)),
+                        jnp.minimum(_shift_cols(lam, True, inf),
+                                    _shift_cols(lam, False, inf)))
+                    new = jnp.minimum(lam, jnp.maximum(cand, img))
+                    if last:
+                        flags_ref[b] = jnp.any(new < lam).astype(jnp.int32)
+                    lam_ref[pl.ds(r0, _BLOCK), :] = new
+        changed = flags_ref[0] > 0
+        for b in range(1, n_blocks):
+            changed = changed | (flags_ref[b] > 0)
         return changed, it + _SWEEP_BATCH
 
     jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
@@ -138,16 +169,19 @@ def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray) -> jnp.ndarray:
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.float32),
+                        pltpu.SMEM((H // _BLOCK,), jnp.int32),
+                        pltpu.SMEM((H // _BLOCK,), jnp.int32)],
         input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(img.astype(jnp.float32), lam0)
 
 
-def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref):
+def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref, flags_ref, nflags_ref):
     """Min-index diffusion over a mask: connected components by propagation, all in
     VMEM (pointer jumping needs big gathers, which run at ~300 MB/s on this TPU —
-    plateau diameters here are cell-sized, so diffusion sweeps win)."""
+    plateau diameters here are cell-sized, so diffusion sweeps win). Same
+    batch-granular per-block activity gating as ``_bf_kernel``."""
     H, W = mask_ref.shape
     n_blocks = H // _BLOCK
     INF = jnp.int32(H * W)
@@ -155,30 +189,48 @@ def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref):
     for b in range(n_blocks):
         r0 = b * _BLOCK
         lbl_ref[pl.ds(r0, _BLOCK), :] = lbl_in_ref[pl.ds(r0, _BLOCK), :]
+        flags_ref[b] = jnp.int32(1)
 
     def sweep_batch(carry):
         _, it = carry
-        changed = jnp.bool_(False)
+        for b in range(n_blocks):
+            near = flags_ref[b]
+            if b > 0:
+                near = near + flags_ref[b - 1]
+            if b < n_blocks - 1:
+                near = near + flags_ref[b + 1]
+            nflags_ref[b] = near
+        for b in range(n_blocks):
+            flags_ref[b] = jnp.int32(0)
         for s in range(_SWEEP_BATCH):
             last = s == _SWEEP_BATCH - 1
             for b in range(n_blocks):
-                halo_ref[2 * b, :] = lbl_ref[b * _BLOCK, :]
-                halo_ref[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
+                @pl.when(nflags_ref[b] > 0)
+                def _halo(b=b):
+                    halo_ref[2 * b, :] = lbl_ref[b * _BLOCK, :]
+                    halo_ref[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
             for b in range(n_blocks):
-                r0 = b * _BLOCK
-                lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
-                mask = mask_ref[pl.ds(r0, _BLOCK), :] > 0
-                up_edge = halo_ref[2 * b - 1, :] if b > 0 else jnp.full((W,), INF)
-                dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else jnp.full((W,), INF)
-                cand = jnp.minimum(
-                    jnp.minimum(_shift_rows(lbl, True, up_edge),
-                                _shift_rows(lbl, False, dn_edge)),
-                    jnp.minimum(_shift_cols(lbl, True, INF),
-                                _shift_cols(lbl, False, INF)))
-                new = jnp.where(mask, jnp.minimum(lbl, cand), INF)
-                if last:
-                    changed = changed | jnp.any(new < lbl)
-                lbl_ref[pl.ds(r0, _BLOCK), :] = new
+                @pl.when(nflags_ref[b] > 0)
+                def _run(b=b, last=last):
+                    r0 = b * _BLOCK
+                    lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
+                    mask = mask_ref[pl.ds(r0, _BLOCK), :] > 0
+                    up_edge = halo_ref[2 * b - 1, :] if b > 0 \
+                        else jnp.full((W,), INF)
+                    dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 \
+                        else jnp.full((W,), INF)
+                    cand = jnp.minimum(
+                        jnp.minimum(_shift_rows(lbl, True, up_edge),
+                                    _shift_rows(lbl, False, dn_edge)),
+                        jnp.minimum(_shift_cols(lbl, True, INF),
+                                    _shift_cols(lbl, False, INF)))
+                    new = jnp.where(mask, jnp.minimum(lbl, cand), INF)
+                    if last:
+                        flags_ref[b] = jnp.any(new < lbl).astype(jnp.int32)
+                    lbl_ref[pl.ds(r0, _BLOCK), :] = new
+        changed = flags_ref[0] > 0
+        for b in range(1, n_blocks):
+            changed = changed | (flags_ref[b] > 0)
         return changed, it + _SWEEP_BATCH
 
     jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
@@ -205,7 +257,9 @@ def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32),
+                        pltpu.SMEM((H // _BLOCK,), jnp.int32),
+                        pltpu.SMEM((H // _BLOCK,), jnp.int32)],
         input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(mask.astype(jnp.int32), lbl0)
