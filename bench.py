@@ -84,7 +84,10 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--zdepth", type=int, default=30)
     p.add_argument("--capacity", type=int, default=1024)
-    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--batch", type=int, default=2,
+                   help="frames per stacked flood launch (watershed_batch "
+                        "row-stacking; 2 at 1024^2 keeps the stacked shape at "
+                        "the proven-compile 2048^2 program scale)")
     p.add_argument("--repeats", type=int, default=4,
                    help="movie passes per dispatch (amortizes the dev-tunnel "
                         "fixed overhead; each pass re-processes all frames)")
@@ -110,7 +113,8 @@ def main(argv=None):
     from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
     from tissue_image_processing_tpu.core.tracking import (
         compute_drift_chain, track_movie)
-    from tissue_image_processing_tpu.ops.watershed import watershed_segmentation
+    from tissue_image_processing_tpu.ops.watershed import (
+        watershed_segmentation, watershed_segmentation_batch)
     from tissue_image_processing_tpu.projection.surface import (
         project_timepoint_auto)
 
@@ -149,9 +153,23 @@ def main(argv=None):
             # ~50% per frame; plain lax.map is the fast path
             projs, cys, cxs, areas, masks = jax.lax.map(one_frame, movie)
         else:
+            # frame batching: projections stay per-frame (lax.map — the fused
+            # Pallas projection would serialize under vmap anyway), but the
+            # flood runs as ONE stacked Pallas launch per B frames
+            # (watershed_batch row-stacking: the sweep count becomes the MAX
+            # over frames instead of the SUM) and the table extraction vmaps
+            # into batched radix matmuls
             batches = movie.reshape(T // B, B, *movie.shape[1:])
-            projs, cys, cxs, areas, masks = jax.lax.map(
-                jax.vmap(one_frame), batches)
+
+            def per_batch(stacks):
+                projs = jax.lax.map(
+                    lambda s: project_timepoint_auto(
+                        s, reference_channel=0, airyscan=False)[0][0], stacks)
+                labels = watershed_segmentation_batch(projs, 0.2, 3.0, 101)
+                tabs = jax.vmap(lambda l: frame_cellinfo(l, capacity=cap))(labels)
+                return projs, tabs.cy, tabs.cx, tabs.area, tabs.valid_mask()
+
+            projs, cys, cxs, areas, masks = jax.lax.map(per_batch, batches)
             flat = lambda x: x.reshape(T, *x.shape[2:])
             projs, cys, cxs, areas, masks = map(
                 flat, (projs, cys, cxs, areas, masks))

@@ -24,12 +24,14 @@ def test_warp_bilinear_integer_shift():
 
 
 def test_tvl1_recovers_uniform_translation():
-    img = _texture(96, 96, seed=1)
+    # 192x192 like the tracker test below: the two tests share ONE jit cache
+    # entry (the pyramid program compiles slowly on the CPU test backend)
+    img = _texture(192, 192, seed=1)
     s = (4, -3)
     mov = np.roll(img, s, axis=(0, 1))
     flow = np.asarray(optical_flow_tvl1(jnp.asarray(img), jnp.asarray(mov)))
     # interior flow ~= the shift (roll wraps at edges; ignore a margin)
-    m = 12
+    m = 16
     assert abs(np.median(flow[0, m:-m, m:-m]) - s[0]) < 0.5, flow[0].mean()
     assert abs(np.median(flow[1, m:-m, m:-m]) - s[1]) < 0.5, flow[1].mean()
 
