@@ -195,3 +195,34 @@ def test_stage_metrics_records_and_emits(tmp_path):
         with m.stage("boom"):
             raise ValueError("x")
     assert any(r["event"] == "stage_error" for r in m.records)
+
+
+def test_external_segmentation_ingest(tmp_path):
+    """EPySeg-style external outputs (gui.py:2081-2136): frame_<N>_* boundary
+    images appear in a folder, stabilize, and load as frame labels."""
+    import numpy as np
+    from tissue_image_processing_tpu.core.tissue import Tissue
+    from tissue_image_processing_tpu.io.external_seg import (
+        ingest_external_segmentation, load_external_labels)
+
+    t = Tissue(2, os.path.join(str(tmp_path), "m.tif"), channel_names=[],
+               capacity=64)
+    # boundary image: 255 = boundary/background, else cell interior
+    img = np.full((32, 32), 255, np.uint8)
+    img[2:15, 2:15] = 0
+    img[18:30, 18:30] = 0
+    outdir = tmp_path / "predict"
+    outdir.mkdir()
+    np.save(outdir / "frame_1_seg.npy", img)
+    np.save(outdir / "frame_2_seg.npy", img.T.copy())
+    prog = list(ingest_external_segmentation(
+        t, str(outdir), n_frames=2, poll_interval=0.01, stable_checks=1,
+        timeout=10.0))
+    assert prog[-1] == 1.0
+    lab1 = t.get_labels(1)
+    assert lab1 is not None and lab1.max() == 2  # two cells labeled
+    assert (lab1[img == 255] == 0).all()
+    tbl = t.get_cells_info(1)
+    assert tbl is not None and int(np.asarray(tbl.area).max()) > 0
+    # direct loader also accepts tiff via read_tiff path
+    assert load_external_labels(t, 1, str(outdir / "missing.tif")) is None
