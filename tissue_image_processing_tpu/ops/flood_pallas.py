@@ -55,6 +55,12 @@ _MAX_SWEEPS = 4096
 # reduction-free and only the final sweep computes `changed` (at most
 # _SWEEP_BATCH-1 wasted no-op sweeps at the end).
 _SWEEP_BATCH = 8
+# The settle gates at batch granularity (see _settle_kernel); the batch must
+# stay <= _SETTLE_BLOCK so activity cannot cross a block within one batch.
+# 8 (not 16) keeps the unrolled program ~25% smaller than the round-2 version
+# — the 2048^2-class compiles through the dev tunnel are the binding
+# constraint, and the flag-scan amortization already happened at 8.
+_SETTLE_SWEEP_BATCH = 8
 # v5e/v4 have far more physical VMEM than Mosaic's 16 MB default scoped limit. At
 # the 2048^2 cap the settle kernel holds lam+lbl+t state (48 MB) + halo snapshots
 # + per-block temporaries ~= 60 MB; 112 MB leaves headroom under the 128 MB core.
@@ -357,44 +363,53 @@ def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
             jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
         lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = new_lbl
         t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = jnp.where(can, it, t)
-        nflags_ref[b] = jnp.any(can).astype(jnp.int32)
+        # accumulate "settled something this batch" (flags_ref was zeroed at
+        # batch start; nflags_ref holds the batch's run decisions)
+        flags_ref[b] = flags_ref[b] | jnp.any(can).astype(jnp.int32)
 
     def sweep_batch(carry):
         _, it0 = carry
-        for s in range(_SWEEP_BATCH):
+        # BATCH-granular gating (the per-sweep 3x n_blocks scalar flag loops
+        # were several ms of the settle at ~600 sweeps): the active set for the
+        # whole batch is {b : b or a row-neighbor settled something during the
+        # previous batch}. Exact: a skipped block ran its previous batch to a
+        # local fixpoint under halos that have not changed since (its neighbors
+        # settled nothing either), so it could not have settled anything in the
+        # skipped sweeps — hence the global `it` stamps are unaffected.
+        # Activity cannot cross a skipped (frozen) block, and it reaches <=
+        # _SETTLE_SWEEP_BATCH (16) rows <= _SETTLE_BLOCK into a running
+        # neighbor per batch, whose accumulated flag then re-activates this
+        # block one batch later. Flags accumulate over ALL sweeps of the batch
+        # (nflags_ref), not just the last — a mid-batch settle must wake the
+        # neighbors.
+        for b in range(n_blocks):
+            near = flags_ref[b]
+            if b > 0:
+                near = near + flags_ref[b - 1]
+            if b < n_blocks - 1:
+                near = near + flags_ref[b + 1]
+            nflags_ref[b] = near
+        for b in range(n_blocks):
+            flags_ref[b] = jnp.int32(0)
+        for s in range(_SETTLE_SWEEP_BATCH):
             it = it0 + s  # arrival stamps still advance once per SWEEP
             for b in range(n_blocks):
-                # block b's halo rows are read by b+-1; refresh only when b or a
-                # neighbor settled last sweep (otherwise the snapshot is current)
-                near = flags_ref[b]
-                if b > 0:
-                    near = near + flags_ref[b - 1]
-                if b < n_blocks - 1:
-                    near = near + flags_ref[b + 1]
-
-                @pl.when(near > 0)
+                # block b's halo rows are read by b+-1; a frozen block's rows
+                # cannot change, so only running blocks refresh their snapshot
+                @pl.when(nflags_ref[b] > 0)
                 def _copy_halo(b=b):
                     lbl_halo[2 * b, :] = lbl_ref[b * _SETTLE_BLOCK, :]
                     lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
                     t_halo[2 * b, :] = t_ref[b * _SETTLE_BLOCK, :]
                     t_halo[2 * b + 1, :] = t_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
             for b in range(n_blocks):
-                near = flags_ref[b]
-                if b > 0:
-                    near = near + flags_ref[b - 1]
-                if b < n_blocks - 1:
-                    near = near + flags_ref[b + 1]
-                nflags_ref[b] = jnp.int32(0)
-
-                @pl.when(near > 0)
+                @pl.when(nflags_ref[b] > 0)
                 def _run(b=b, it=it):
                     _block_body(b, b * _SETTLE_BLOCK, it)
-            for b in range(n_blocks):
-                flags_ref[b] = nflags_ref[b]
         changed = flags_ref[0] > 0
         for b in range(1, n_blocks):
             changed = changed | (flags_ref[b] > 0)
-        return changed, it0 + _SWEEP_BATCH
+        return changed, it0 + _SETTLE_SWEEP_BATCH
 
     jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
                        (jnp.bool_(True), jnp.int32(1)))
