@@ -146,3 +146,20 @@ def test_predictor_batch():
     assert hc.shape == (3, 70, 60)
     l0, h0 = pred.predict(imgs[0])
     np.testing.assert_array_equal(np.asarray(labels[0]), np.asarray(l0))
+
+
+def test_subpixel_up_matches_convtranspose():
+    """UNet(up_kind="subpixel") with folded weights is bit-equivalent to the
+    reference ConvTranspose architecture (phase decomposition of the stride-2
+    transposed conv; see _SubpixelUp / fold_convtranspose_kernel)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tissue_image_processing_tpu.models.unet import (
+        UNet, build_unet, variables_to_subpixel)
+
+    model, variables = build_unet((64, 64, 2), depth=2, base_filters=8)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 2)), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    sub = UNet(depth=2, base_filters=8, up_kind="subpixel")
+    got = sub.apply(variables_to_subpixel(variables), x, train=False)
+    assert float(jnp.abs(want - got).max()) < 1e-5

@@ -24,10 +24,12 @@ __all__ = ["UNet", "build_unet"]
 
 class DoubleConv(nn.Module):
     """Conv3x3 -> ReLU -> BatchNorm, twice (Keras order: activation before BN,
-    reference ``prediction_local.py:31-38``)."""
+    reference ``prediction_local.py:31-38``). ``norm="none"`` drops the BN
+    (ablation / perf experiments only — not the reference architecture)."""
 
     filters: int
     dtype: Any = jnp.float32
+    norm: str = "bn"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -35,19 +37,29 @@ class DoubleConv(nn.Module):
             x = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
                         kernel_init=nn.initializers.he_normal())(x)
             x = nn.relu(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-3, dtype=self.dtype)(x)
+            if self.norm == "bn":
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                                 epsilon=1e-3, dtype=self.dtype)(x)
         return x
 
 
 class UNet(nn.Module):
-    """U-Net with ``depth`` down blocks starting at ``base_filters``."""
+    """U-Net with ``depth`` down blocks starting at ``base_filters``.
+
+    ``norm`` / ``up_kind`` are perf-ablation knobs; the defaults reproduce the
+    reference architecture exactly (``prediction_local.py:31-72``).
+    up_kind: "convt" (Keras Conv2DTranspose k3 s2) | "subpixel" (equivalent
+    channel-packed conv + depth-to-space, see _subpixel_up) | "resize_conv"
+    (nearest 2x resize + 3x3 conv — NOT weight-compatible, ablation only).
+    """
 
     depth: int = 3
     base_filters: int = 128
     num_classes: int = 2
     dropout_rate: float = 0.3
     dtype: Any = jnp.float32
+    norm: str = "bn"
+    up_kind: str = "convt"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,27 +67,108 @@ class UNet(nn.Module):
         skips = []
         filters = [self.base_filters * (2 ** i) for i in range(self.depth)]
         for f in filters:
-            skip = DoubleConv(f, dtype=self.dtype)(x, train)
+            skip = DoubleConv(f, dtype=self.dtype, norm=self.norm)(x, train)
             skips.append(skip)
             x = nn.max_pool(skip, (2, 2), strides=(2, 2))
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = DoubleConv(filters[-1] * 2, dtype=self.dtype)(x, train)
+        x = DoubleConv(filters[-1] * 2, dtype=self.dtype, norm=self.norm)(x, train)
         for f, skip in zip(reversed(filters), reversed(skips)):
-            x = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME",
-                                 dtype=self.dtype)(x)
+            if self.up_kind == "convt":
+                x = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME",
+                                     dtype=self.dtype)(x)
+            elif self.up_kind == "resize_conv":
+                h, w = x.shape[1] * 2, x.shape[2] * 2
+                x = jax.image.resize(x, (x.shape[0], h, w, x.shape[3]),
+                                     method="nearest")
+                x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(x)
+            else:
+                x = _SubpixelUp(f, dtype=self.dtype)(x)
             x = jnp.concatenate([x, skip], axis=-1)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-            x = DoubleConv(f, dtype=self.dtype)(x, train)
+            x = DoubleConv(f, dtype=self.dtype, norm=self.norm)(x, train)
         x = nn.Conv(self.num_classes, (1, 1), padding="SAME", dtype=self.dtype)(x)
         return nn.softmax(x.astype(jnp.float32), axis=-1)
 
 
+class _SubpixelUp(nn.Module):
+    """ConvTranspose(k=3, s=2, SAME) re-expressed as one stride-1 conv that
+    emits the 4 output phases as channel groups + a depth-to-space interleave.
+
+    For stride 2, output pixel (2i+di, 2j+dj) receives input taps whose
+    transposed-kernel rows/cols have parity (di, dj) — a 2x2 sub-kernel of the
+    3x3 — so the whole op is Conv(4f, (2,2)) on the half-res input followed by
+    a reshape interleave. Identical arithmetic, but a dense stride-1 conv maps
+    onto the MXU without the input-dilation lowering XLA uses for
+    ConvTranspose. Weights are NOT initialized Keras-compatible here; use
+    fold_convtranspose_weights to convert imported reference weights.
+    """
+
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        f = self.filters
+        y = nn.Conv(4 * f, (2, 2), padding=((1, 0), (1, 0)),
+                    dtype=self.dtype, name="packed")(x)
+        y = y.reshape(B, H, W, 2, 2, f)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, f)
+        return y
+
+
 def build_unet(input_shape: Tuple[int, int, int], depth: int = 3,
-               base_filters: int = 128, dtype=jnp.float32, seed: int = 0):
+               base_filters: int = 128, dtype=jnp.float32, seed: int = 0,
+               **kwargs):
     """Initialize a U-Net; returns (module, variables) like the reference's
     ``build_unet_model`` (``prediction_local.py:60-72``)."""
-    model = UNet(depth=depth, base_filters=base_filters, dtype=dtype)
+    model = UNet(depth=depth, base_filters=base_filters, dtype=dtype, **kwargs)
     rng = jax.random.PRNGKey(seed)
     variables = model.init({"params": rng}, jnp.zeros((1,) + tuple(input_shape)),
                            train=False)
     return model, variables
+
+
+def fold_convtranspose_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, F) ConvTranspose kernel -> the (2, 2, C, 4F) packed kernel of
+    :class:`_SubpixelUp` computing the identical map.
+
+    flax's SAME stride-2 transpose places tap k of the 3-kernel at output
+    o = 2i + 2 - k (impulse-verified), so even outputs read
+    w[2] x[m] + w[0] x[m-1] and odd outputs read w[1] x[m]: phase (di, dj) of
+    pixel (2m+di, 2n+dj) is a 2x2 conv over the FRONT-padded window
+    x[m-1..m, n-1..n] through the parity-(di, dj) sub-kernel.
+    """
+    C, F = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, C, 4 * F), w.dtype)
+    rowsel = {0: [(0, 0), (1, 2)], 1: [(1, 1)]}  # (K2 tap, w tap) per parity
+    for di in (0, 1):
+        for dj in (0, 1):
+            g = di * 2 + dj
+            for (a, kr) in rowsel[di]:
+                for (b, kc) in rowsel[dj]:
+                    out = out.at[a, b, :, g * F:(g + 1) * F].set(w[kr, kc])
+    return out
+
+
+def convtranspose_to_subpixel_params(ct_params: dict) -> dict:
+    """{'kernel','bias'} of a ConvTranspose -> params for _SubpixelUp.packed."""
+    folded = {"kernel": fold_convtranspose_kernel(ct_params["kernel"])}
+    if "bias" in ct_params:
+        folded["bias"] = jnp.tile(ct_params["bias"], 4)
+    return {"packed": folded}
+
+
+def variables_to_subpixel(variables: dict) -> dict:
+    """Convert a UNet(up_kind="convt") variable tree (including imported Keras
+    reference weights, weights_io.py) to the UNet(up_kind="subpixel") layout —
+    identical outputs, MXU-friendlier upsampling."""
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    params = dict(out["params"])
+    for name in list(params):
+        if name.startswith("ConvTranspose_"):
+            idx = name.split("_")[1]
+            params[f"_SubpixelUp_{idx}"] = convtranspose_to_subpixel_params(
+                params.pop(name))
+    out["params"] = params
+    return out
