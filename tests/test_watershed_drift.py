@@ -3,7 +3,7 @@ import jax.numpy as jnp
 from scipy import ndimage as ndi
 
 from tissue_image_processing_tpu.ops.watershed import (
-    regional_minima_labels, watershed, watershed_segmentation)
+    regional_minima_labels, watershed, watershed_batch, watershed_segmentation)
 from tissue_image_processing_tpu.ops.drift import phase_cross_correlation, calculate_drift
 from tissue_image_processing_tpu.ops.brightness import (
     set_channel_brightness, normalize_channel, binary_image)
@@ -272,3 +272,70 @@ def test_watershed_pallas_padded_matches_xla_unaligned():
     assert got.shape == want.shape == (150, 170)
     agree = (got == want).mean()
     assert agree > 0.999, f"padded pallas vs XLA agreement {agree:.5f}"
+
+
+def test_watershed_batch_stacked_matches_per_frame():
+    """B frames flooded in ONE stacked pallas launch must match the per-frame
+    XLA path bit-for-bit after the per-frame label-offset subtraction."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    import importlib
+    WS = importlib.import_module("tissue_image_processing_tpu.ops.watershed")
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    frames = []
+    for s in (1, 4, 9):
+        img = make_cell_image(128, 128, n_seeds=15, seed=s)
+        seg = np.where(img < 0.2 * img.max(), 0, img)
+        frames.append(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
+    batch = jnp.asarray(np.stack(frames))
+    want = np.stack([np.asarray(WS.watershed(batch[i], use_pallas=False))
+                     for i in range(3)])
+    FP.pl.pallas_call = interp_call
+    try:
+        got = np.asarray(WS.watershed_batch.__wrapped__(batch, use_pallas=True))
+    finally:
+        FP.pl.pallas_call = orig_call
+    np.testing.assert_array_equal(got, want)
+
+
+def test_watershed_batch_xla_fallback_matches_per_frame():
+    img = make_cell_image(96, 96, n_seeds=10, seed=2)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    blurred = ndi.gaussian_filter(seg.astype(np.float32), 3.0)
+    batch = jnp.asarray(np.stack([blurred, blurred[::-1].copy()]))
+    got = np.asarray(watershed_batch(batch, use_pallas=False))
+    want = np.stack([np.asarray(watershed(batch[i], use_pallas=False))
+                     for i in range(2)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_settle_loop_kernel_matches_unrolled():
+    """settle_pallas_loop (O(1)-program-size dynamic-block kernel, used for
+    H > 1024 / stacked shapes) is bit-identical to the unrolled settle,
+    including arrival stamps."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    from tissue_image_processing_tpu.ops.watershed import regional_minima_labels
+
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    img = make_cell_image(128, 128, n_seeds=15, seed=3)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    b = jnp.asarray(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
+    FP.pl.pallas_call = interp_call
+    try:
+        seeds = regional_minima_labels(b, use_pallas=True)
+        lam = FP.bf_flood_pallas.__wrapped__(b, seeds)
+        l1, t1 = FP.settle_pallas.__wrapped__(lam, seeds)
+        l2, t2 = FP.settle_pallas_loop.__wrapped__(lam, seeds)
+    finally:
+        FP.pl.pallas_call = orig_call
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

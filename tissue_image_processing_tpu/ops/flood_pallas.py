@@ -38,8 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bf_flood_pallas", "settle_pallas", "cc_diffusion_pallas",
-           "pallas_flood_supported"]
+__all__ = ["bf_flood_pallas", "settle_pallas", "settle_pallas_loop",
+           "cc_diffusion_pallas", "pallas_flood_supported"]
 
 _BLOCK = 64
 # The settle kernel keeps ~14 live (block, W) vector values per block (3 state
@@ -413,6 +413,181 @@ def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
 
     jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
                        (jnp.bool_(True), jnp.int32(1)))
+
+
+def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
+                        lam_halo, lbl_halo, t_halo, flags_ref, run_ref,
+                        cnt_ref):
+    """Dynamic-block-index variant of ``_settle_kernel``: the same math, but
+    blocks are visited via ``lax.fori_loop`` over a compact ACTIVE LIST built
+    once per batch, so the compiled program is O(1) in H — the unrolled
+    kernel's Mosaic compile time grows with n_blocks and becomes the binding
+    constraint at 2048^2-class and stacked-frame shapes (tens of minutes via
+    the dev tunnel), while quiet blocks here cost nothing at all (not even a
+    flag check per sweep).
+
+    Index scheme (avoids b==0 / b==n-1 Python specializations):
+    - halo row arrays are (2n+2, W) with sentinel rows [0] and [2n+1]
+      (lam=+inf, lbl=0, t=big); block b's rows live at [2b+1], [2b+2], so its
+      up/dn halos are [2b] / [2b+3] unconditionally.
+    - flags are (n+2,) with zero sentinels; block b's flag at [b+1].
+    """
+    H, W = lam_ref.shape
+    n_blocks = H // _SETTLE_BLOCK
+    inf = jnp.float32(jnp.inf)
+    big_t = jnp.int32(1 << 29)
+
+    def init_b(b, _):
+        r0 = b * _SETTLE_BLOCK
+        lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = lbl_in_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = t_in_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        lam_halo[2 * b + 1, :] = lam_ref[r0, :]
+        lam_halo[2 * b + 2, :] = lam_ref[r0 + _SETTLE_BLOCK - 1, :]
+        flags_ref[b + 1] = jnp.int32(1)
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, init_b, 0)
+    lam_halo[0, :] = jnp.full((W,), inf)
+    lam_halo[2 * n_blocks + 1, :] = jnp.full((W,), inf)
+    lbl_halo[0, :] = jnp.zeros((W,), jnp.int32)
+    lbl_halo[2 * n_blocks + 1, :] = jnp.zeros((W,), jnp.int32)
+    t_halo[0, :] = jnp.full((W,), big_t)
+    t_halo[2 * n_blocks + 1, :] = jnp.full((W,), big_t)
+    flags_ref[0] = jnp.int32(0)
+    flags_ref[n_blocks + 1] = jnp.int32(0)
+
+    def _block_body(b, it):
+        r0 = b * _SETTLE_BLOCK
+        lam = lam_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        lbl = lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        t = t_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        settled = lbl != 0
+        up = (lam_halo[2 * b, :], lbl_halo[2 * b, :], t_halo[2 * b, :])
+        dn = (lam_halo[2 * b + 3, :], lbl_halo[2 * b + 3, :],
+              t_halo[2 * b + 3, :])
+        nbrs = [
+            (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
+             _shift_rows(t, True, up[2])),
+            (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
+             _shift_rows(t, False, dn[2])),
+            (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
+             _shift_cols(t, True, big_t)),
+            (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
+             _shift_cols(t, False, big_t)),
+        ]
+        ready = jnp.ones_like(settled)
+        all_eq = jnp.ones_like(settled)
+        best_v = jnp.full((_SETTLE_BLOCK, W), inf, jnp.float32)
+        best_t = jnp.full((_SETTLE_BLOCK, W), big_t, jnp.int32)
+        best_l = jnp.zeros((_SETTLE_BLOCK, W), jnp.int32)
+        minl = jnp.full((_SETTLE_BLOCK, W), jnp.int32((1 << 30)), jnp.int32)
+        maxl = jnp.zeros((_SETTLE_BLOCK, W), jnp.int32)
+        for qv, ql, qt in nbrs:
+            qsettled = ql != 0
+            ready = ready & ((~(qv < lam)) | qsettled)
+            all_eq = all_eq & ((~(qv <= lam)) | qsettled)
+            donor = (ql > 0) & (qv <= lam)
+            minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
+            maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
+            better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
+            best_v = jnp.where(better, qv, best_v)
+            best_t = jnp.where(better, qt, best_t)
+            best_l = jnp.where(better, ql, best_l)
+        has_donor = maxl > 0
+        conflict = has_donor & (minl != maxl)
+        unsettled = ~settled
+        settle_lbl = unsettled & ready & has_donor & (~conflict)
+        settle_line = unsettled & ready & conflict
+        settle_void = unsettled & ready & (~has_donor) & all_eq
+        can = settle_lbl | settle_line | settle_void
+        new_lbl = jnp.where(
+            settle_lbl, best_l,
+            jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
+        lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = new_lbl
+        t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = jnp.where(can, it, t)
+        flags_ref[b + 1] = flags_ref[b + 1] | jnp.any(can).astype(jnp.int32)
+
+    def sweep_batch(carry):
+        _, it0 = carry
+        # build the batch's active list from last batch's accumulated flags
+        # (same exactness argument as _settle_kernel's batch gating)
+        def scan_b(b, cnt):
+            near = flags_ref[b] + flags_ref[b + 1] + flags_ref[b + 2]
+
+            def app(c):
+                run_ref[c] = b
+                return c + 1
+
+            return jax.lax.cond(near > 0, app, lambda c: c, cnt)
+
+        cnt = jax.lax.fori_loop(0, n_blocks, scan_b, jnp.int32(0))
+
+        def clear_b(b, _):
+            flags_ref[b + 1] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, clear_b, 0)
+        for s in range(_SETTLE_SWEEP_BATCH):
+            it = it0 + s
+
+            def halo_i(i, _):
+                b = run_ref[i]
+                r0 = b * _SETTLE_BLOCK
+                lbl_halo[2 * b + 1, :] = lbl_ref[r0, :]
+                lbl_halo[2 * b + 2, :] = lbl_ref[r0 + _SETTLE_BLOCK - 1, :]
+                t_halo[2 * b + 1, :] = t_ref[r0, :]
+                t_halo[2 * b + 2, :] = t_ref[r0 + _SETTLE_BLOCK - 1, :]
+                return 0
+
+            jax.lax.fori_loop(0, cnt, halo_i, 0)
+
+            def run_i(i, _):
+                _block_body(run_ref[i], it)
+                return 0
+
+            jax.lax.fori_loop(0, cnt, run_i, 0)
+
+        def or_b(b, a):
+            return a | flags_ref[b + 1]
+
+        changed = jax.lax.fori_loop(0, n_blocks, or_b, jnp.int32(0))
+        cnt_ref[0] = cnt  # debug/occupancy visibility
+        return changed > 0, it0 + _SETTLE_SWEEP_BATCH
+
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
+                       (jnp.bool_(True), jnp.int32(1)))
+
+
+@jax.jit
+def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``settle_pallas`` built on the O(1)-program-size loop kernel."""
+    H, W = lam.shape
+    big_t = jnp.int32(1 << 29)
+    lbl0 = seeds.astype(jnp.int32)
+    t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
+    n_blocks = H // _SETTLE_BLOCK
+    lbl, t = pl.pallas_call(
+        _settle_loop_kernel,
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
+                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_blocks + 2, W), jnp.float32),
+            pltpu.VMEM((2 * n_blocks + 2, W), jnp.int32),
+            pltpu.VMEM((2 * n_blocks + 2, W), jnp.int32),
+            pltpu.SMEM((n_blocks + 2,), jnp.int32),
+            pltpu.SMEM((n_blocks,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(lam.astype(jnp.float32), lbl0, t0)
+    return lbl, t
 
 
 @jax.jit

@@ -43,7 +43,8 @@ from tissue_image_processing_tpu.ops.filters import gaussian_blur
 from tissue_image_processing_tpu.ops.local_threshold import threshold_local_max
 from tissue_image_processing_tpu.ops.morphology import shift2d
 
-__all__ = ["regional_minima_labels", "watershed", "watershed_segmentation"]
+__all__ = ["regional_minima_labels", "watershed", "watershed_batch",
+           "watershed_segmentation", "watershed_segmentation_batch"]
 
 _NBRS4 = [(1, 0), (-1, 0), (0, 1), (0, -1)]
 _NBRS8 = _NBRS4 + [(1, 1), (1, -1), (-1, 1), (-1, -1)]
@@ -82,7 +83,10 @@ def regional_minima_labels(image: jnp.ndarray,
     for dy, dx in _NBRS8:
         v = _nbr_val(img, dy, dx, inf)
         min8 = v if min8 is None else jnp.minimum(min8, v)
-    candidate = img <= min8
+    # non-finite pixels (pad bands, stacked-frame separators) can never be
+    # minima; excluding them HERE keeps them out of the CC diffusion entirely —
+    # an all-inf band is otherwise one giant plateau needing ~W sweeps to settle
+    candidate = (img <= min8) & (img < inf)
     # a candidate adjacent (8) to an equal-valued non-candidate belongs to an escaping
     # plateau -> its whole component is not a regional minimum
     bad = jnp.zeros_like(candidate)
@@ -153,11 +157,14 @@ def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
     from tissue_image_processing_tpu.ops.flood_pallas import pallas_flood_supported
 
     H, W = image.shape
+    Hp = -(-H // 64) * 64
+    Wp = -(-W // 128) * 128
     if use_pallas is None:
-        use_pallas = _pallas_enabled(image.shape)
+        # auto mode gates on the PADDED shape: unaligned images (the
+        # reference's 1600-2000 px movies) must take the pad-and-crop Pallas
+        # path, not silently fall to the ~10x slower XLA sweeps
+        use_pallas = _pallas_enabled((Hp, Wp))
     if use_pallas and not pallas_flood_supported((H, W)):
-        Hp = -(-H // 64) * 64
-        Wp = -(-W // 128) * 128
         if pallas_flood_supported((Hp, Wp)):
             img_p = jnp.pad(image.astype(jnp.float32),
                             ((0, Hp - H), (0, Wp - W)),
@@ -168,6 +175,59 @@ def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
             return out[:H, :W]
         use_pallas = False
     return _watershed_core(image, markers, watershed_line, use_pallas)
+
+
+_STACK_SEP = 16  # inf rows between stacked frames; >=1 isolates the 4-neighbor
+# flood and the (8-neighbor, 1-px reach) minima detection across frames
+
+
+@functools.partial(jax.jit, static_argnames=("watershed_line", "use_pallas"))
+def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
+                    use_pallas: bool | None = None) -> jnp.ndarray:
+    """Flood B frames in ONE Pallas launch by stacking them along rows.
+
+    The flood kernels' sweep count is set by content (plateau diameters, line
+    chains) while each late sweep touches only the few still-active row blocks —
+    so most of a frame's flood tail is fixed per-sweep loop/flag overhead.
+    Stacking B frames with +inf separator bands makes the total sweep count the
+    MAX over frames instead of the SUM, amortizing that overhead B-fold, and
+    replaces B kernel launches with one. +inf bands produce no seeds (excluded
+    from minima candidacy), never donate (inf > any finite lam), and settle
+    quiet immediately, so per-frame labels are bit-identical to the per-frame
+    path: seeds are numbered in raster order, hence contiguous per frame, and a
+    per-frame offset subtraction restores 1..N_k numbering.
+
+    Falls back to ``lax.map`` of the per-frame path when the stacked shape
+    exceeds the VMEM budget or off TPU.
+    """
+    B, H, W = images.shape
+    if B == 1:
+        return watershed(images[0], watershed_line=watershed_line,
+                         use_pallas=use_pallas)[None]
+    from tissue_image_processing_tpu.ops.flood_pallas import pallas_flood_supported
+
+    Wp = -(-W // 128) * 128
+    slot = H + _STACK_SEP
+    tail = (-(B * slot)) % 64
+    Hs = B * slot + tail
+    if use_pallas is None:
+        use_pallas = _pallas_enabled((Hs, Wp))
+    if not (use_pallas and pallas_flood_supported((Hs, Wp))):
+        return jax.lax.map(
+            lambda im: watershed(im, watershed_line=watershed_line,
+                                 use_pallas=False), images)
+    inf = jnp.float32(jnp.inf)
+    fr = jnp.pad(images.astype(jnp.float32),
+                 ((0, 0), (0, _STACK_SEP), (0, Wp - W)), constant_values=inf)
+    stacked = fr.reshape(B * slot, Wp)
+    if tail:
+        stacked = jnp.pad(stacked, ((0, tail), (0, 0)), constant_values=inf)
+    out = _watershed_core(stacked, None, watershed_line, True)
+    labs = out[:B * slot].reshape(B, slot, Wp)[:, :H, :W]
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    mins = jnp.min(jnp.where(labs > 0, labs, big).reshape(B, -1), axis=1)
+    off = jnp.where(mins == big, 0, mins - 1)
+    return jnp.where(labs > 0, labs - off[:, None, None], 0)
 
 
 def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
@@ -216,9 +276,15 @@ def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
     # what stops a front from leaking across a saddle into the next basin), none ->
     # void (unreached, like skimage pixels sealed off behind lines).
     if use_pallas:
-        from tissue_image_processing_tpu.ops.flood_pallas import settle_pallas
+        from tissue_image_processing_tpu.ops.flood_pallas import (
+            settle_pallas, settle_pallas_loop)
 
-        lbl_raw, t = settle_pallas(lam, seeds)
+        # beyond 64 row-blocks (H > 1024) the unrolled settle's Mosaic compile
+        # time explodes (tens of minutes at 2048^2-class / stacked shapes via
+        # the dev tunnel); the loop kernel is bit-identical with an O(1)
+        # program size
+        settle = settle_pallas if H <= 1024 else settle_pallas_loop
+        lbl_raw, t = settle(lam, seeds)
         lbl = jnp.maximum(lbl_raw, 0)
         return _apply_lines(lbl, t, lam, q_lam, H, W, big_t, watershed_line, img)
 
@@ -323,3 +389,17 @@ def watershed_segmentation(image: jnp.ndarray, imgthresh: float, std: float,
     seg = jnp.where(img < thr, 0.0, img)
     blurred = gaussian_blur(seg, float(std))
     return watershed(blurred, watershed_line=True)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "std"))
+def watershed_segmentation_batch(images: jnp.ndarray, imgthresh: float,
+                                 std: float, block_size: int) -> jnp.ndarray:
+    """Batched ``watershed_segmentation``: per-frame threshold + blur (vmapped),
+    then ONE stacked flood for the whole batch (``watershed_batch``)."""
+
+    def pre(img):
+        img = img.astype(jnp.float32)
+        thr = imgthresh * threshold_local_max(img, block_size)
+        return gaussian_blur(jnp.where(img < thr, 0.0, img), float(std))
+
+    return watershed_batch(jax.vmap(pre)(images), watershed_line=True)
