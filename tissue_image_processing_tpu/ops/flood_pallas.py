@@ -9,23 +9,30 @@ zero times:
 - ``bf_flood_pallas``: phase-1 Bellman-Ford flood levels (min-max semiring).
 - ``settle_pallas``: phase-2 ascending settle with Meyer conflict->line semantics.
 
-Both process the image in row blocks inside a single kernel launch; to keep pure
-Jacobi (synchronous) semantics while updating in place, each sweep first snapshots the
-rows on block boundaries and lets blocks read their out-of-block halo from the
-snapshot. Semantics match ops/watershed.py exactly (asserted in tests on CPU via
+All kernels share one structure: the image is split into row blocks; each
+8-sweep BATCH visits only a compact ACTIVE LIST of blocks (a block runs iff it
+or a row-neighbor changed during the previous batch — exact, see the kernel
+docstrings), via ``lax.fori_loop`` with dynamic block indices so the compiled
+program is O(1) in H. That last property is load-bearing: unrolled per-block
+code made Mosaic compile time grow superlinearly with block count (minutes at
+64 blocks, effectively unbounded at the 2048^2 / stacked-frame shapes, through
+a dev tunnel where every compile is remote). Jacobi (synchronous) semantics
+with in-place updates come from per-sweep snapshots of block-boundary halo
+rows; sentinel halo rows at the image border remove edge-block special cases.
+Semantics match ops/watershed.py exactly (asserted in tests on CPU via
 interpret mode and against the XLA path).
 
 VMEM budget: lam(f32) + lbl(i32) + t(i32) state refs = 12 B/px (48 MB at the
 2048^2 cap), plus (block, W) working sets. Unaligned or larger images pad-and-crop
 or fall back to the XLA path (ops/watershed.py).
 
-Performance structure (measured at 1024^2 on v5e): sweeps are fixpoint
-iterations whose count is set by content — plateau diameters for the CC
-(~110), watershed-line chains for the settle (hundreds). The wins that matter:
-sweep batching (8 per while iteration, convergence checked on the last only),
-per-block activity flags that skip quiet blocks and halo refreshes in the
-settle's long tail, and rank-by-diffusion relabeling (ops/watershed.py) instead
-of 1M-element gathers.
+Performance structure (measured at 1024^2 on v5e): the settle's arrival stamps
+show max 173 sweeps with p50 = 24 — the cost is the BULK phase (every block
+active for the first ~3 batches), not a long tail, so per-block-sweep overhead
+(halo row copies, loop control, the any() reduction) matters as much as the
+vector work. Other wins that got here: sweep batching (8 per while iteration,
+convergence checked on the last sweep only), and rank-by-diffusion relabeling
+(ops/watershed.py) instead of 1M-element gathers.
 """
 
 from __future__ import annotations
@@ -92,155 +99,139 @@ def _shift_cols(x, right: bool, fill):
                             jnp.full((x.shape[0], 1), fill, x.dtype)], axis=1)
 
 
-def _bf_kernel(img_ref, lam_in_ref, lam_ref, halo_ref, flags_ref, nflags_ref):
-    """lam <- min(lam, max(shift(lam), img)) iterated to fixpoint, in VMEM.
+def _diffusion_loop_kernel(aux_ref, st_in_ref, st_ref, halo_ref, flags_ref,
+                           run_ref, cnt_ref, *, combine, fill, block,
+                           sweep_batch):
+    """Generic batch-gated min-diffusion to fixpoint, dynamic-block-index form.
 
-    Per-block activity flags at BATCH granularity: a block runs a batch only
-    if it or a row-neighbor changed during the previous batch. Change is
-    detected on the batch's LAST sweep only (per-block jnp.any — the same
-    reduction the ungated kernel already paid): a block quiet on the last
-    sweep is at a local fixpoint for its current halo, and any future halo
-    change first sets a neighbor's flag, which re-activates this block one
-    batch later (monotone updates, so delayed re-activation converges to the
-    same fixpoint)."""
-    H, W = img_ref.shape
-    n_blocks = H // _BLOCK
-    inf = jnp.float32(jnp.inf)
-    # explicit copy-in: a no-op when the input/output alias is honored, and the
-    # only correct initialization when it is not — on real TPUs the aliased
-    # output buffer has been observed arriving UNFILLED (reusing another
-    # kernel's dead buffer) at some sizes, which leaks sentinels downstream
-    for b in range(n_blocks):
-        r0 = b * _BLOCK
-        lam_ref[pl.ds(r0, _BLOCK), :] = lam_in_ref[pl.ds(r0, _BLOCK), :]
-        flags_ref[b] = jnp.int32(1)
+    Shared by the Bellman-Ford flood (state f32, aux = image) and the
+    connected-component min-index diffusion (state i32, aux = mask):
+    per sweep, ``st <- combine(st, 4-neighbor min of st, aux)`` with
+    ``fill`` at the image border. Blocks are visited via ``lax.fori_loop``
+    over a compact ACTIVE LIST rebuilt each batch — program size is O(1) in
+    H (the unrolled kernels' Mosaic compile time exploded past ~32 gated
+    blocks), and quiet blocks cost nothing per sweep.
 
-    def sweep_batch(carry):
+    Gating is exact: updates are monotone non-increasing, and a block whose
+    batch ended with a no-change sweep is at a local fixpoint for halos that
+    cannot change while its neighbors are also quiet; any later halo change
+    first flags a neighbor, which re-activates this block one batch later.
+    Index scheme: halo rows (2n+2, W) with ``fill`` sentinels at [0]/[2n+1],
+    block b's rows at [2b+1]/[2b+2]; flags (n+2,) with zero sentinels.
+    """
+    H, W = aux_ref.shape
+    n_blocks = H // block
+    # fill must be a PYTHON number (a jnp scalar would be a captured constant,
+    # which pallas_call rejects for kernel closures)
+    fill_row = jnp.full((W,), fill, st_ref.dtype)
+
+    def init_b(b, _):
+        r0 = b * block
+        # explicit copy-in: a no-op when the input/output alias is honored,
+        # and the only correct initialization when it is not — on real TPUs
+        # the aliased output buffer has been observed arriving UNFILLED
+        st_ref[pl.ds(r0, block), :] = st_in_ref[pl.ds(r0, block), :]
+        flags_ref[b + 1] = jnp.int32(1)
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, init_b, 0)
+    halo_ref[0, :] = fill_row
+    halo_ref[2 * n_blocks + 1, :] = fill_row
+    flags_ref[0] = jnp.int32(0)
+    flags_ref[n_blocks + 1] = jnp.int32(0)
+
+    def batch_body(carry):
         _, it = carry
-        # stash run-decisions first (they read flags of BOTH neighbors), then
-        # zero flags — the last sweep re-sets them for still-active blocks
-        for b in range(n_blocks):
-            near = flags_ref[b]
-            if b > 0:
-                near = near + flags_ref[b - 1]
-            if b < n_blocks - 1:
-                near = near + flags_ref[b + 1]
-            nflags_ref[b] = near
-        for b in range(n_blocks):
-            flags_ref[b] = jnp.int32(0)
-        for s in range(_SWEEP_BATCH):
-            last = s == _SWEEP_BATCH - 1
-            # snapshot block-boundary halo rows (pre-sweep) for Jacobi semantics
-            for b in range(n_blocks):
-                @pl.when(nflags_ref[b] > 0)
-                def _halo(b=b):
-                    halo_ref[2 * b, :] = lam_ref[b * _BLOCK, :]
-                    halo_ref[2 * b + 1, :] = lam_ref[(b + 1) * _BLOCK - 1, :]
-            for b in range(n_blocks):
-                @pl.when(nflags_ref[b] > 0)
-                def _run(b=b, last=last):
-                    r0 = b * _BLOCK
-                    lam = lam_ref[pl.ds(r0, _BLOCK), :]
-                    img = img_ref[pl.ds(r0, _BLOCK), :]
-                    up_edge = halo_ref[2 * b - 1, :] if b > 0 \
-                        else jnp.full((W,), inf)
-                    dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 \
-                        else jnp.full((W,), inf)
-                    cand = jnp.minimum(
-                        jnp.minimum(_shift_rows(lam, True, up_edge),
-                                    _shift_rows(lam, False, dn_edge)),
-                        jnp.minimum(_shift_cols(lam, True, inf),
-                                    _shift_cols(lam, False, inf)))
-                    new = jnp.minimum(lam, jnp.maximum(cand, img))
-                    if last:
-                        flags_ref[b] = jnp.any(new < lam).astype(jnp.int32)
-                    lam_ref[pl.ds(r0, _BLOCK), :] = new
-        changed = flags_ref[0] > 0
-        for b in range(1, n_blocks):
-            changed = changed | (flags_ref[b] > 0)
-        return changed, it + _SWEEP_BATCH
 
-    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
+        def scan_b(b, cnt):
+            near = flags_ref[b] + flags_ref[b + 1] + flags_ref[b + 2]
+
+            def app(c):
+                run_ref[c] = b
+                return c + 1
+
+            return jax.lax.cond(near > 0, app, lambda c: c, cnt)
+
+        cnt = jax.lax.fori_loop(0, n_blocks, scan_b, jnp.int32(0))
+
+        def clear_b(b, _):
+            flags_ref[b + 1] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, clear_b, 0)
+        for st_i in range(sweep_batch):
+            last = st_i == sweep_batch - 1
+
+            def halo_i(i, _):
+                b = run_ref[i]
+                r0 = b * block
+                halo_ref[2 * b + 1, :] = st_ref[r0, :]
+                halo_ref[2 * b + 2, :] = st_ref[r0 + block - 1, :]
+                return 0
+
+            jax.lax.fori_loop(0, cnt, halo_i, 0)
+
+            def run_i(i, _, last=last):
+                b = run_ref[i]
+                r0 = b * block
+                st = st_ref[pl.ds(r0, block), :]
+                aux = aux_ref[pl.ds(r0, block), :]
+                cand = jnp.minimum(
+                    jnp.minimum(
+                        _shift_rows(st, True, halo_ref[2 * b, :]),
+                        _shift_rows(st, False, halo_ref[2 * b + 3, :])),
+                    jnp.minimum(_shift_cols(st, True, fill),
+                                _shift_cols(st, False, fill)))
+                new = combine(st, cand, aux)
+                if last:
+                    flags_ref[b + 1] = jnp.any(new < st).astype(jnp.int32)
+                st_ref[pl.ds(r0, block), :] = new
+                return 0
+
+            jax.lax.fori_loop(0, cnt, run_i, 0)
+
+        def or_b(b, a):
+            return a | flags_ref[b + 1]
+
+        changed = jax.lax.fori_loop(0, n_blocks, or_b, jnp.int32(0))
+        cnt_ref[0] = cnt
+        return changed > 0, it + sweep_batch
+
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), batch_body,
                        (jnp.bool_(True), jnp.int32(0)))
+
+
+def _diffusion_call(kernel, aux, st0, dtype):
+    H, W = aux.shape
+    n_blocks = H // _BLOCK
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * n_blocks + 2, W), dtype),
+                        pltpu.SMEM((n_blocks + 2,), jnp.int32),
+                        pltpu.SMEM((n_blocks,), jnp.int32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(aux, st0)
 
 
 @jax.jit
 def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray) -> jnp.ndarray:
     """Flood levels lam = minimax path elevation from any seed (phase 1)."""
-    H, W = img.shape
+    img = img.astype(jnp.float32)
     lam0 = jnp.where(seeds > 0, img, jnp.inf).astype(jnp.float32)
-    return pl.pallas_call(
-        _bf_kernel,
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.float32),
-                        pltpu.SMEM((H // _BLOCK,), jnp.int32),
-                        pltpu.SMEM((H // _BLOCK,), jnp.int32)],
-        input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(img.astype(jnp.float32), lam0)
 
+    def combine(st, cand, aux):
+        return jnp.minimum(st, jnp.maximum(cand, aux))
 
-def _cc_kernel(mask_ref, lbl_in_ref, lbl_ref, halo_ref, flags_ref, nflags_ref):
-    """Min-index diffusion over a mask: connected components by propagation, all in
-    VMEM (pointer jumping needs big gathers, which run at ~300 MB/s on this TPU —
-    plateau diameters here are cell-sized, so diffusion sweeps win). Same
-    batch-granular per-block activity gating as ``_bf_kernel``."""
-    H, W = mask_ref.shape
-    n_blocks = H // _BLOCK
-    INF = jnp.int32(H * W)
-    # explicit copy-in (see _bf_kernel: aliased outputs can arrive unfilled)
-    for b in range(n_blocks):
-        r0 = b * _BLOCK
-        lbl_ref[pl.ds(r0, _BLOCK), :] = lbl_in_ref[pl.ds(r0, _BLOCK), :]
-        flags_ref[b] = jnp.int32(1)
-
-    def sweep_batch(carry):
-        _, it = carry
-        for b in range(n_blocks):
-            near = flags_ref[b]
-            if b > 0:
-                near = near + flags_ref[b - 1]
-            if b < n_blocks - 1:
-                near = near + flags_ref[b + 1]
-            nflags_ref[b] = near
-        for b in range(n_blocks):
-            flags_ref[b] = jnp.int32(0)
-        for s in range(_SWEEP_BATCH):
-            last = s == _SWEEP_BATCH - 1
-            for b in range(n_blocks):
-                @pl.when(nflags_ref[b] > 0)
-                def _halo(b=b):
-                    halo_ref[2 * b, :] = lbl_ref[b * _BLOCK, :]
-                    halo_ref[2 * b + 1, :] = lbl_ref[(b + 1) * _BLOCK - 1, :]
-            for b in range(n_blocks):
-                @pl.when(nflags_ref[b] > 0)
-                def _run(b=b, last=last):
-                    r0 = b * _BLOCK
-                    lbl = lbl_ref[pl.ds(r0, _BLOCK), :]
-                    mask = mask_ref[pl.ds(r0, _BLOCK), :] > 0
-                    up_edge = halo_ref[2 * b - 1, :] if b > 0 \
-                        else jnp.full((W,), INF)
-                    dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 \
-                        else jnp.full((W,), INF)
-                    cand = jnp.minimum(
-                        jnp.minimum(_shift_rows(lbl, True, up_edge),
-                                    _shift_rows(lbl, False, dn_edge)),
-                        jnp.minimum(_shift_cols(lbl, True, INF),
-                                    _shift_cols(lbl, False, INF)))
-                    new = jnp.where(mask, jnp.minimum(lbl, cand), INF)
-                    if last:
-                        flags_ref[b] = jnp.any(new < lbl).astype(jnp.int32)
-                    lbl_ref[pl.ds(r0, _BLOCK), :] = new
-        changed = flags_ref[0] > 0
-        for b in range(1, n_blocks):
-            changed = changed | (flags_ref[b] > 0)
-        return changed, it + _SWEEP_BATCH
-
-    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
-                       (jnp.bool_(True), jnp.int32(0)))
+    kernel = functools.partial(_diffusion_loop_kernel, combine=combine,
+                               fill=float("inf"), block=_BLOCK,
+                               sweep_batch=_SWEEP_BATCH)
+    return _diffusion_call(kernel, img, lam0, jnp.float32)
 
 
 @jax.jit
@@ -251,173 +242,29 @@ def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None
     pixel index) that is the root/top-left index. A custom ``init`` lets callers fold
     component-wide predicates into the same kernel — e.g. regional_minima_labels
     seeds escaping-plateau pixels with (idx - n) so any poisoned component surfaces
-    as a negative value, replacing a separate scatter-table membership test."""
+    as a negative value, replacing a separate scatter-table membership test.
+    (Pointer jumping would need big gathers, which run at ~300 MB/s on this TPU —
+    plateau diameters here are cell-sized, so diffusion sweeps win.)"""
     H, W = mask.shape
     n = H * W
     idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
     base = idx if init is None else init.astype(jnp.int32)
     lbl0 = jnp.where(mask, base, jnp.int32(n))
-    lbl = pl.pallas_call(
-        _cc_kernel,
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2 * (H // _BLOCK), W), jnp.int32),
-                        pltpu.SMEM((H // _BLOCK,), jnp.int32),
-                        pltpu.SMEM((H // _BLOCK,), jnp.int32)],
-        input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(mask.astype(jnp.int32), lbl0)
+
+    def combine(st, cand, aux):
+        return jnp.where(aux > 0, jnp.minimum(st, cand),
+                         jnp.int32(n))  # n is static (shape-derived)
+
+    kernel = functools.partial(_diffusion_loop_kernel, combine=combine,
+                               fill=n, block=_BLOCK,
+                               sweep_batch=_SWEEP_BATCH)
+    lbl = _diffusion_call(kernel, mask.astype(jnp.int32), lbl0, jnp.int32)
     return jnp.where(mask, lbl, -1)
-
-
-def _settle_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
-                   lam_halo, lbl_halo, t_halo, flags_ref, nflags_ref):
-    """Ascending settle (Meyer pop order) with conflict->line, all state in VMEM.
-
-    lbl encoding: 0 = unsettled, k>0 = settled label k, -1 = settled line,
-    -2 = settled void.
-
-    Per-block skip flags: a block whose own rows and both neighbor blocks
-    settled nothing last sweep cannot settle anything this sweep (its update
-    depends only on its rows plus a one-row halo), so it is skipped via
-    ``pl.when`` — EXACTLY the same output (``it`` advances globally). The
-    settle's sweep count is set by watershed-LINE chains that crawl one pixel
-    per sweep along cell perimeters (hundreds of sweeps on 1024^2 membranes);
-    most blocks go quiet after a few dozen sweeps, so late sweeps touch only
-    the 2-3 blocks still carrying a chain.
-    """
-    H, W = lam_ref.shape
-    n_blocks = H // _SETTLE_BLOCK
-    inf = jnp.float32(jnp.inf)
-    big_t = jnp.int32(1 << 29)
-
-    # explicit copy-in (see _bf_kernel: aliased outputs can arrive unfilled)
-    for b in range(n_blocks):
-        r0 = b * _SETTLE_BLOCK
-        lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = lbl_in_ref[pl.ds(r0, _SETTLE_BLOCK), :]
-        t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = t_in_ref[pl.ds(r0, _SETTLE_BLOCK), :]
-    # lam is constant during the settle: snapshot its halo rows once
-    for b in range(n_blocks):
-        lam_halo[2 * b, :] = lam_ref[b * _SETTLE_BLOCK, :]
-        lam_halo[2 * b + 1, :] = lam_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
-        flags_ref[b] = jnp.int32(1)
-
-    def _block_body(b, r0, it):
-        lam = lam_ref[pl.ds(r0, _SETTLE_BLOCK), :]
-        lbl = lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :]
-        t = t_ref[pl.ds(r0, _SETTLE_BLOCK), :]
-        settled = lbl != 0
-
-        if b > 0:
-            up = (lam_halo[2 * b - 1, :], lbl_halo[2 * b - 1, :],
-                  t_halo[2 * b - 1, :])
-        else:
-            up = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
-                  jnp.full((W,), big_t))
-        if b < n_blocks - 1:
-            dn = (lam_halo[2 * b + 2, :], lbl_halo[2 * b + 2, :],
-                  t_halo[2 * b + 2, :])
-        else:
-            dn = (jnp.full((W,), inf), jnp.zeros((W,), jnp.int32),
-                  jnp.full((W,), big_t))
-
-        nbrs = [
-            (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
-             _shift_rows(t, True, up[2])),
-            (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
-             _shift_rows(t, False, dn[2])),
-            (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
-             _shift_cols(t, True, big_t)),
-            (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
-             _shift_cols(t, False, big_t)),
-        ]
-        ready = jnp.ones_like(settled)
-        all_eq = jnp.ones_like(settled)
-        best_v = jnp.full((_SETTLE_BLOCK, W), inf, jnp.float32)
-        best_t = jnp.full((_SETTLE_BLOCK, W), big_t, jnp.int32)
-        best_l = jnp.zeros((_SETTLE_BLOCK, W), jnp.int32)
-        minl = jnp.full((_SETTLE_BLOCK, W), jnp.int32((1 << 30)), jnp.int32)
-        maxl = jnp.zeros((_SETTLE_BLOCK, W), jnp.int32)
-        for qv, ql, qt in nbrs:
-            qsettled = ql != 0
-            ready = ready & ((~(qv < lam)) | qsettled)
-            all_eq = all_eq & ((~(qv <= lam)) | qsettled)
-            donor = (ql > 0) & (qv <= lam)
-            minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
-            maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
-            better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
-            best_v = jnp.where(better, qv, best_v)
-            best_t = jnp.where(better, qt, best_t)
-            best_l = jnp.where(better, ql, best_l)
-        has_donor = maxl > 0
-        conflict = has_donor & (minl != maxl)
-        unsettled = ~settled
-        settle_lbl = unsettled & ready & has_donor & (~conflict)
-        settle_line = unsettled & ready & conflict
-        settle_void = unsettled & ready & (~has_donor) & all_eq
-        can = settle_lbl | settle_line | settle_void
-        new_lbl = jnp.where(
-            settle_lbl, best_l,
-            jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
-        lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = new_lbl
-        t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = jnp.where(can, it, t)
-        # accumulate "settled something this batch" (flags_ref was zeroed at
-        # batch start; nflags_ref holds the batch's run decisions)
-        flags_ref[b] = flags_ref[b] | jnp.any(can).astype(jnp.int32)
-
-    def sweep_batch(carry):
-        _, it0 = carry
-        # BATCH-granular gating (the per-sweep 3x n_blocks scalar flag loops
-        # were several ms of the settle at ~600 sweeps): the active set for the
-        # whole batch is {b : b or a row-neighbor settled something during the
-        # previous batch}. Exact: a skipped block ran its previous batch to a
-        # local fixpoint under halos that have not changed since (its neighbors
-        # settled nothing either), so it could not have settled anything in the
-        # skipped sweeps — hence the global `it` stamps are unaffected.
-        # Activity cannot cross a skipped (frozen) block, and it reaches <=
-        # _SETTLE_SWEEP_BATCH (16) rows <= _SETTLE_BLOCK into a running
-        # neighbor per batch, whose accumulated flag then re-activates this
-        # block one batch later. Flags accumulate over ALL sweeps of the batch
-        # (nflags_ref), not just the last — a mid-batch settle must wake the
-        # neighbors.
-        for b in range(n_blocks):
-            near = flags_ref[b]
-            if b > 0:
-                near = near + flags_ref[b - 1]
-            if b < n_blocks - 1:
-                near = near + flags_ref[b + 1]
-            nflags_ref[b] = near
-        for b in range(n_blocks):
-            flags_ref[b] = jnp.int32(0)
-        for s in range(_SETTLE_SWEEP_BATCH):
-            it = it0 + s  # arrival stamps still advance once per SWEEP
-            for b in range(n_blocks):
-                # block b's halo rows are read by b+-1; a frozen block's rows
-                # cannot change, so only running blocks refresh their snapshot
-                @pl.when(nflags_ref[b] > 0)
-                def _copy_halo(b=b):
-                    lbl_halo[2 * b, :] = lbl_ref[b * _SETTLE_BLOCK, :]
-                    lbl_halo[2 * b + 1, :] = lbl_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
-                    t_halo[2 * b, :] = t_ref[b * _SETTLE_BLOCK, :]
-                    t_halo[2 * b + 1, :] = t_ref[(b + 1) * _SETTLE_BLOCK - 1, :]
-            for b in range(n_blocks):
-                @pl.when(nflags_ref[b] > 0)
-                def _run(b=b, it=it):
-                    _block_body(b, b * _SETTLE_BLOCK, it)
-        changed = flags_ref[0] > 0
-        for b in range(1, n_blocks):
-            changed = changed | (flags_ref[b] > 0)
-        return changed, it0 + _SETTLE_SWEEP_BATCH
-
-    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
-                       (jnp.bool_(True), jnp.int32(1)))
 
 
 def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                         lam_halo, lbl_halo, t_halo, flags_ref, run_ref,
-                        cnt_ref):
+                        cnt_ref, *, block=_SETTLE_BLOCK, sweep_batch=None):
     """Dynamic-block-index variant of ``_settle_kernel``: the same math, but
     blocks are visited via ``lax.fori_loop`` over a compact ACTIVE LIST built
     once per batch, so the compiled program is O(1) in H — the unrolled
@@ -432,17 +279,19 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
       up/dn halos are [2b] / [2b+3] unconditionally.
     - flags are (n+2,) with zero sentinels; block b's flag at [b+1].
     """
+    if sweep_batch is None:
+        sweep_batch = _SETTLE_SWEEP_BATCH
     H, W = lam_ref.shape
-    n_blocks = H // _SETTLE_BLOCK
+    n_blocks = H // block
     inf = jnp.float32(jnp.inf)
     big_t = jnp.int32(1 << 29)
 
     def init_b(b, _):
-        r0 = b * _SETTLE_BLOCK
-        lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = lbl_in_ref[pl.ds(r0, _SETTLE_BLOCK), :]
-        t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = t_in_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        r0 = b * block
+        lbl_ref[pl.ds(r0, block), :] = lbl_in_ref[pl.ds(r0, block), :]
+        t_ref[pl.ds(r0, block), :] = t_in_ref[pl.ds(r0, block), :]
         lam_halo[2 * b + 1, :] = lam_ref[r0, :]
-        lam_halo[2 * b + 2, :] = lam_ref[r0 + _SETTLE_BLOCK - 1, :]
+        lam_halo[2 * b + 2, :] = lam_ref[r0 + block - 1, :]
         flags_ref[b + 1] = jnp.int32(1)
         return 0
 
@@ -457,10 +306,10 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
     flags_ref[n_blocks + 1] = jnp.int32(0)
 
     def _block_body(b, it):
-        r0 = b * _SETTLE_BLOCK
-        lam = lam_ref[pl.ds(r0, _SETTLE_BLOCK), :]
-        lbl = lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :]
-        t = t_ref[pl.ds(r0, _SETTLE_BLOCK), :]
+        r0 = b * block
+        lam = lam_ref[pl.ds(r0, block), :]
+        lbl = lbl_ref[pl.ds(r0, block), :]
+        t = t_ref[pl.ds(r0, block), :]
         settled = lbl != 0
         up = (lam_halo[2 * b, :], lbl_halo[2 * b, :], t_halo[2 * b, :])
         dn = (lam_halo[2 * b + 3, :], lbl_halo[2 * b + 3, :],
@@ -477,11 +326,11 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
         ]
         ready = jnp.ones_like(settled)
         all_eq = jnp.ones_like(settled)
-        best_v = jnp.full((_SETTLE_BLOCK, W), inf, jnp.float32)
-        best_t = jnp.full((_SETTLE_BLOCK, W), big_t, jnp.int32)
-        best_l = jnp.zeros((_SETTLE_BLOCK, W), jnp.int32)
-        minl = jnp.full((_SETTLE_BLOCK, W), jnp.int32((1 << 30)), jnp.int32)
-        maxl = jnp.zeros((_SETTLE_BLOCK, W), jnp.int32)
+        best_v = jnp.full((block, W), inf, jnp.float32)
+        best_t = jnp.full((block, W), big_t, jnp.int32)
+        best_l = jnp.zeros((block, W), jnp.int32)
+        minl = jnp.full((block, W), jnp.int32((1 << 30)), jnp.int32)
+        maxl = jnp.zeros((block, W), jnp.int32)
         for qv, ql, qt in nbrs:
             qsettled = ql != 0
             ready = ready & ((~(qv < lam)) | qsettled)
@@ -503,11 +352,11 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
         new_lbl = jnp.where(
             settle_lbl, best_l,
             jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
-        lbl_ref[pl.ds(r0, _SETTLE_BLOCK), :] = new_lbl
-        t_ref[pl.ds(r0, _SETTLE_BLOCK), :] = jnp.where(can, it, t)
+        lbl_ref[pl.ds(r0, block), :] = new_lbl
+        t_ref[pl.ds(r0, block), :] = jnp.where(can, it, t)
         flags_ref[b + 1] = flags_ref[b + 1] | jnp.any(can).astype(jnp.int32)
 
-    def sweep_batch(carry):
+    def batch_body(carry):
         _, it0 = carry
         # build the batch's active list from last batch's accumulated flags
         # (same exactness argument as _settle_kernel's batch gating)
@@ -527,16 +376,16 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
             return 0
 
         jax.lax.fori_loop(0, n_blocks, clear_b, 0)
-        for s in range(_SETTLE_SWEEP_BATCH):
+        for s in range(sweep_batch):
             it = it0 + s
 
             def halo_i(i, _):
                 b = run_ref[i]
-                r0 = b * _SETTLE_BLOCK
+                r0 = b * block
                 lbl_halo[2 * b + 1, :] = lbl_ref[r0, :]
-                lbl_halo[2 * b + 2, :] = lbl_ref[r0 + _SETTLE_BLOCK - 1, :]
+                lbl_halo[2 * b + 2, :] = lbl_ref[r0 + block - 1, :]
                 t_halo[2 * b + 1, :] = t_ref[r0, :]
-                t_halo[2 * b + 2, :] = t_ref[r0 + _SETTLE_BLOCK - 1, :]
+                t_halo[2 * b + 2, :] = t_ref[r0 + block - 1, :]
                 return 0
 
             jax.lax.fori_loop(0, cnt, halo_i, 0)
@@ -552,23 +401,31 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
 
         changed = jax.lax.fori_loop(0, n_blocks, or_b, jnp.int32(0))
         cnt_ref[0] = cnt  # debug/occupancy visibility
-        return changed > 0, it0 + _SETTLE_SWEEP_BATCH
+        return changed > 0, it0 + sweep_batch
 
-    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), sweep_batch,
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), batch_body,
                        (jnp.bool_(True), jnp.int32(1)))
 
 
-@jax.jit
-def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray
+@functools.partial(jax.jit, static_argnames=("block", "sweep_batch"))
+def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
+                       block: int = _SETTLE_BLOCK,
+                       sweep_batch: int = _SETTLE_SWEEP_BATCH
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """``settle_pallas`` built on the O(1)-program-size loop kernel."""
+    """``settle_pallas`` built on the O(1)-program-size loop kernel.
+
+    ``block``/``sweep_batch`` tune the bulk-vs-tail tradeoff (sweep_batch must
+    stay <= block for the batch-gating exactness argument); output is
+    bit-identical for any valid setting."""
     H, W = lam.shape
+    assert sweep_batch <= block and H % block == 0
     big_t = jnp.int32(1 << 29)
     lbl0 = seeds.astype(jnp.int32)
     t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
-    n_blocks = H // _SETTLE_BLOCK
+    n_blocks = H // block
     lbl, t = pl.pallas_call(
-        _settle_loop_kernel,
+        functools.partial(_settle_loop_kernel, block=block,
+                          sweep_batch=sweep_batch),
         out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
                    jax.ShapeDtypeStruct((H, W), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -590,32 +447,7 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray
     return lbl, t
 
 
-@jax.jit
-def settle_pallas(lam: jnp.ndarray, seeds: jnp.ndarray
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Phase-2 settle. Returns (lbl, t): lbl>0 labels, -1 line, -2 void, 0 unreached;
-    t = arrival sweep (for the post-pass line tie-breaks)."""
-    H, W = lam.shape
-    big_t = jnp.int32(1 << 29)
-    lbl0 = seeds.astype(jnp.int32)
-    t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
-    lbl, t = pl.pallas_call(
-        _settle_kernel,
-        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
-                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((2 * (H // _SETTLE_BLOCK), W), jnp.float32),
-            pltpu.VMEM((2 * (H // _SETTLE_BLOCK), W), jnp.int32),
-            pltpu.VMEM((2 * (H // _SETTLE_BLOCK), W), jnp.int32),
-            pltpu.SMEM((H // _SETTLE_BLOCK,), jnp.int32),
-            pltpu.SMEM((H // _SETTLE_BLOCK,), jnp.int32),
-        ],
-        input_output_aliases={1: 0, 2: 1},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(lam.astype(jnp.float32), lbl0, t0)
-    return lbl, t
+# The unrolled settle kernel is gone: the loop kernel is bit-identical,
+# slightly faster at 1024^2 (8.4 vs 9.4 ms measured), and compiles in seconds
+# at every size instead of minutes-to-hours past 64 blocks.
+settle_pallas = settle_pallas_loop

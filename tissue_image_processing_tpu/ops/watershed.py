@@ -276,15 +276,9 @@ def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
     # what stops a front from leaking across a saddle into the next basin), none ->
     # void (unreached, like skimage pixels sealed off behind lines).
     if use_pallas:
-        from tissue_image_processing_tpu.ops.flood_pallas import (
-            settle_pallas, settle_pallas_loop)
+        from tissue_image_processing_tpu.ops.flood_pallas import settle_pallas
 
-        # beyond 64 row-blocks (H > 1024) the unrolled settle's Mosaic compile
-        # time explodes (tens of minutes at 2048^2-class / stacked shapes via
-        # the dev tunnel); the loop kernel is bit-identical with an O(1)
-        # program size
-        settle = settle_pallas if H <= 1024 else settle_pallas_loop
-        lbl_raw, t = settle(lam, seeds)
+        lbl_raw, t = settle_pallas(lam, seeds)
         lbl = jnp.maximum(lbl_raw, 0)
         return _apply_lines(lbl, t, lam, q_lam, H, W, big_t, watershed_line, img)
 
