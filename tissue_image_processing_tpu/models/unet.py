@@ -13,7 +13,7 @@ channel counts that are multiples of 128 so every conv lands on full MXU tiles.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,10 +22,66 @@ from flax import linen as nn
 __all__ = ["UNet", "build_unet"]
 
 
+class _FusedConv(nn.Module):
+    """nn.Conv-compatible conv (same param names/shapes/init) that feeds the
+    MXU in ``dtype`` but accumulates in float32 (``preferred_element_type``).
+
+    Measured on v5e at 1024^2 x 128ch: nn.Conv(dtype=bf16) emits a bf16-output
+    conv that runs at 54 TF/s, while the same conv with an f32 accumulate +
+    fused epilogue cast runs at 76-95 TF/s — the f32 accumulator output lets
+    XLA pick a better conv tiling. The epilogue (bias, relu, BN affine) stays
+    in f32 and the caller casts back to ``dtype`` once per block."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    padding: Any = "SAME"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            self.padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return y + bias
+
+
+class _FusedConvTranspose(nn.Module):
+    """nn.ConvTranspose-compatible stride-2 transposed conv with f32 accum
+    (see _FusedConv); kernel layout (kh, kw, in, out) like flax."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype), kernel.astype(self.dtype), (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return (y + bias).astype(self.dtype)
+
+
 class DoubleConv(nn.Module):
     """Conv3x3 -> ReLU -> BatchNorm, twice (Keras order: activation before BN,
     reference ``prediction_local.py:31-38``). ``norm="none"`` drops the BN
-    (ablation / perf experiments only — not the reference architecture)."""
+    (ablation / perf experiments only — not the reference architecture).
+
+    The conv accumulates in f32 and the relu/BN epilogue stays f32 (fused by
+    XLA into the conv); activations re-enter ``dtype`` at the next conv."""
 
     filters: int
     dtype: Any = jnp.float32
@@ -33,14 +89,16 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for _ in range(2):
-            x = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=self.dtype,
-                        kernel_init=nn.initializers.he_normal())(x)
+        for i in range(2):
+            x = _FusedConv(self.filters, (3, 3), dtype=self.dtype,
+                           kernel_init=nn.initializers.he_normal(),
+                           name=f"Conv_{i}")(x)
             x = nn.relu(x)
             if self.norm == "bn":
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                                 epsilon=1e-3, dtype=self.dtype)(x)
-        return x
+                                 epsilon=1e-3, dtype=jnp.float32,
+                                 name=f"BatchNorm_{i}")(x)
+        return x.astype(self.dtype)
 
 
 class UNet(nn.Module):
@@ -72,10 +130,10 @@ class UNet(nn.Module):
             x = nn.max_pool(skip, (2, 2), strides=(2, 2))
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = DoubleConv(filters[-1] * 2, dtype=self.dtype, norm=self.norm)(x, train)
-        for f, skip in zip(reversed(filters), reversed(skips)):
+        for j, (f, skip) in enumerate(zip(reversed(filters), reversed(skips))):
             if self.up_kind == "convt":
-                x = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME",
-                                     dtype=self.dtype)(x)
+                x = _FusedConvTranspose(f, (3, 3), dtype=self.dtype,
+                                        name=f"ConvTranspose_{j}")(x)
             elif self.up_kind == "resize_conv":
                 h, w = x.shape[1] * 2, x.shape[2] * 2
                 x = jax.image.resize(x, (x.shape[0], h, w, x.shape[3]),
@@ -83,10 +141,11 @@ class UNet(nn.Module):
                 x = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)(x)
             else:
                 x = _SubpixelUp(f, dtype=self.dtype)(x)
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
             x = DoubleConv(f, dtype=self.dtype, norm=self.norm)(x, train)
-        x = nn.Conv(self.num_classes, (1, 1), padding="SAME", dtype=self.dtype)(x)
+        x = _FusedConv(self.num_classes, (1, 1), dtype=self.dtype,
+                       name="Conv_0")(x)
         return nn.softmax(x.astype(jnp.float32), axis=-1)
 
 
@@ -110,9 +169,9 @@ class _SubpixelUp(nn.Module):
     def __call__(self, x):
         B, H, W, C = x.shape
         f = self.filters
-        y = nn.Conv(4 * f, (2, 2), padding=((1, 0), (1, 0)),
-                    dtype=self.dtype, name="packed")(x)
-        y = y.reshape(B, H, W, 2, 2, f)
+        y = _FusedConv(4 * f, (2, 2), padding=((1, 0), (1, 0)),
+                       dtype=self.dtype, name="packed")(x)
+        y = y.astype(self.dtype).reshape(B, H, W, 2, 2, f)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, f)
         return y
 
