@@ -313,6 +313,37 @@ def test_watershed_batch_xla_fallback_matches_per_frame():
     np.testing.assert_array_equal(got, want)
 
 
+def test_diffusion_unrolled_matches_loop_form():
+    """BF flood and CC diffusion give bit-identical results from the unrolled
+    (static-index, small-shape) and loop (dynamic-block, big-shape) kernel
+    forms."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    from tissue_image_processing_tpu.ops.watershed import regional_minima_labels
+
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    img = make_cell_image(128, 128, n_seeds=15, seed=6)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    b = jnp.asarray(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
+    rng = np.random.default_rng(11)
+    mask = jnp.asarray(rng.random((128, 128)) < 0.5)
+    FP.pl.pallas_call = interp_call
+    try:
+        seeds = regional_minima_labels(b, use_pallas=True)
+        lam_u = FP.bf_flood_pallas.__wrapped__(b, seeds, force_loop=False)
+        lam_l = FP.bf_flood_pallas.__wrapped__(b, seeds, force_loop=True)
+        cc_u = FP.cc_diffusion_pallas.__wrapped__(mask, force_loop=False)
+        cc_l = FP.cc_diffusion_pallas.__wrapped__(mask, force_loop=True)
+    finally:
+        FP.pl.pallas_call = orig_call
+    np.testing.assert_array_equal(np.asarray(lam_u), np.asarray(lam_l))
+    np.testing.assert_array_equal(np.asarray(cc_u), np.asarray(cc_l))
+
+
 def test_settle_loop_kernel_block_size_invariant():
     """The settle output (incl. arrival stamps) is bit-identical for any valid
     (block, sweep_batch <= block) — the batch-gating exactness argument is

@@ -10,13 +10,17 @@ zero times:
 - ``settle_pallas``: phase-2 ascending settle with Meyer conflict->line semantics.
 
 All kernels share one structure: the image is split into row blocks; each
-8-sweep BATCH visits only a compact ACTIVE LIST of blocks (a block runs iff it
-or a row-neighbor changed during the previous batch — exact, see the kernel
-docstrings), via ``lax.fori_loop`` with dynamic block indices so the compiled
-program is O(1) in H. That last property is load-bearing: unrolled per-block
-code made Mosaic compile time grow superlinearly with block count (minutes at
-64 blocks, effectively unbounded at the 2048^2 / stacked-frame shapes, through
-a dev tunnel where every compile is remote). Jacobi (synchronous) semantics
+8-sweep BATCH visits only the ACTIVE blocks (a block runs iff it or a
+row-neighbor changed during the previous batch — exact, see the kernel
+docstrings). Block visits come in two equivalent forms, chosen by size: a
+fully-unrolled static-index form for small block counts (BF/CC at
+<= _UNROLL_MAX_BLOCKS blocks — better Mosaic scheduling in the bulk phase
+where every block is active), and a ``lax.fori_loop`` over a compact active
+list with dynamic block indices whose compiled program is O(1) in H. The
+latter is load-bearing for big shapes: unrolled per-block code made Mosaic
+compile time grow superlinearly with block count (minutes at 64 blocks,
+effectively unbounded at the 2048^2 / stacked-frame shapes, through a dev
+tunnel where every compile is remote). Jacobi (synchronous) semantics
 with in-place updates come from per-sweep snapshots of block-boundary halo
 rows; sentinel halo rows at the image border remove edge-block special cases.
 Semantics match ops/watershed.py exactly (asserted in tests on CPU via
@@ -62,6 +66,12 @@ _MAX_SWEEPS = 4096
 # reduction-free and only the final sweep computes `changed` (at most
 # _SWEEP_BATCH-1 wasted no-op sweeps at the end).
 _SWEEP_BATCH = 8
+# BF/CC kernels: fully-unrolled static-index form up to this many 64-row
+# blocks (<= 1024^2 frames); the dynamic-block loop form beyond. The unrolled
+# form schedules better in the all-blocks-active BULK phase, the loop form
+# keeps Mosaic program size (and compile time) O(1) in H for 2048^2-class and
+# row-stacked shapes.
+_UNROLL_MAX_BLOCKS = 16
 # The settle gates at batch granularity (see _settle_kernel); the batch must
 # stay <= _SETTLE_BLOCK so activity cannot cross a block within one batch.
 # 8 (not 16) keeps the unrolled program ~25% smaller than the round-2 version
@@ -201,6 +211,76 @@ def _diffusion_loop_kernel(aux_ref, st_in_ref, st_ref, halo_ref, flags_ref,
                        (jnp.bool_(True), jnp.int32(0)))
 
 
+def _diffusion_unrolled_kernel(aux_ref, st_in_ref, st_ref, halo_ref,
+                               flags_ref, nflags_ref, *, combine, fill,
+                               block, sweep_batch):
+    """Static-index (fully unrolled) twin of ``_diffusion_loop_kernel``.
+
+    Same math and the same batch-granular activity gating, but every block
+    visit is a statically-indexed code block instead of a ``fori_loop`` over
+    an active list, so Mosaic can schedule the per-block vector work without
+    dynamic-address overhead. Used when ``n_blocks <= _UNROLL_MAX_BLOCKS``
+    (512^2/1024^2 frames) — the loop form's per-block dispatch costs real
+    time in the BULK phase where every block is active, while the unrolled
+    form's compile time only explodes past ~32 blocks."""
+    H, W = aux_ref.shape
+    n_blocks = H // block
+    fill_row = jnp.full((W,), fill, st_ref.dtype)
+    # explicit copy-in (see _diffusion_loop_kernel: aliased outputs can
+    # arrive unfilled)
+    for b in range(n_blocks):
+        r0 = b * block
+        st_ref[pl.ds(r0, block), :] = st_in_ref[pl.ds(r0, block), :]
+        flags_ref[b] = jnp.int32(1)
+
+    def batch_body(carry):
+        _, it = carry
+        # stash run-decisions first (they read flags of BOTH neighbors), then
+        # zero flags — the last sweep re-sets them for still-active blocks
+        for b in range(n_blocks):
+            near = flags_ref[b]
+            if b > 0:
+                near = near + flags_ref[b - 1]
+            if b < n_blocks - 1:
+                near = near + flags_ref[b + 1]
+            nflags_ref[b] = near
+        for b in range(n_blocks):
+            flags_ref[b] = jnp.int32(0)
+        for s in range(sweep_batch):
+            last = s == sweep_batch - 1
+            # snapshot block-boundary halo rows (pre-sweep: Jacobi semantics)
+            for b in range(n_blocks):
+                @pl.when(nflags_ref[b] > 0)
+                def _halo(b=b):
+                    halo_ref[2 * b, :] = st_ref[b * block, :]
+                    halo_ref[2 * b + 1, :] = st_ref[(b + 1) * block - 1, :]
+            for b in range(n_blocks):
+                @pl.when(nflags_ref[b] > 0)
+                def _run(b=b, last=last):
+                    r0 = b * block
+                    st = st_ref[pl.ds(r0, block), :]
+                    aux = aux_ref[pl.ds(r0, block), :]
+                    up_edge = halo_ref[2 * b - 1, :] if b > 0 else fill_row
+                    dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 \
+                        else fill_row
+                    cand = jnp.minimum(
+                        jnp.minimum(_shift_rows(st, True, up_edge),
+                                    _shift_rows(st, False, dn_edge)),
+                        jnp.minimum(_shift_cols(st, True, fill),
+                                    _shift_cols(st, False, fill)))
+                    new = combine(st, cand, aux)
+                    if last:
+                        flags_ref[b] = jnp.any(new < st).astype(jnp.int32)
+                    st_ref[pl.ds(r0, block), :] = new
+        changed = flags_ref[0] > 0
+        for b in range(1, n_blocks):
+            changed = changed | (flags_ref[b] > 0)
+        return changed, it + sweep_batch
+
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), batch_body,
+                       (jnp.bool_(True), jnp.int32(0)))
+
+
 def _diffusion_call(kernel, aux, st0, dtype):
     H, W = aux.shape
     n_blocks = H // _BLOCK
@@ -219,8 +299,39 @@ def _diffusion_call(kernel, aux, st0, dtype):
     )(aux, st0)
 
 
-@jax.jit
-def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray) -> jnp.ndarray:
+def _diffusion_call_unrolled(kernel, aux, st0, dtype):
+    H, W = aux.shape
+    n_blocks = H // _BLOCK
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * n_blocks, W), dtype),
+                        pltpu.SMEM((n_blocks,), jnp.int32),
+                        pltpu.SMEM((n_blocks,), jnp.int32)],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(aux, st0)
+
+
+def _dispatch_diffusion(combine, fill, aux, st0, dtype, force_loop: bool):
+    n_blocks = aux.shape[0] // _BLOCK
+    if force_loop or n_blocks > _UNROLL_MAX_BLOCKS:
+        kernel = functools.partial(_diffusion_loop_kernel, combine=combine,
+                                   fill=fill, block=_BLOCK,
+                                   sweep_batch=_SWEEP_BATCH)
+        return _diffusion_call(kernel, aux, st0, dtype)
+    kernel = functools.partial(_diffusion_unrolled_kernel, combine=combine,
+                               fill=fill, block=_BLOCK,
+                               sweep_batch=_SWEEP_BATCH)
+    return _diffusion_call_unrolled(kernel, aux, st0, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("force_loop",))
+def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray,
+                    force_loop: bool = False) -> jnp.ndarray:
     """Flood levels lam = minimax path elevation from any seed (phase 1)."""
     img = img.astype(jnp.float32)
     lam0 = jnp.where(seeds > 0, img, jnp.inf).astype(jnp.float32)
@@ -228,15 +339,13 @@ def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray) -> jnp.ndarray:
     def combine(st, cand, aux):
         return jnp.minimum(st, jnp.maximum(cand, aux))
 
-    kernel = functools.partial(_diffusion_loop_kernel, combine=combine,
-                               fill=float("inf"), block=_BLOCK,
-                               sweep_batch=_SWEEP_BATCH)
-    return _diffusion_call(kernel, img, lam0, jnp.float32)
+    return _dispatch_diffusion(combine, float("inf"), img, lam0, jnp.float32,
+                               force_loop)
 
 
-@jax.jit
-def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None
-                        ) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("force_loop",))
+def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None,
+                        force_loop: bool = False) -> jnp.ndarray:
     """4-connected component labels by min-diffusion: each component gets the MIN of
     its pixels' initial values (-1 outside the mask). With the default init (the flat
     pixel index) that is the root/top-left index. A custom ``init`` lets callers fold
@@ -255,10 +364,8 @@ def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None
         return jnp.where(aux > 0, jnp.minimum(st, cand),
                          jnp.int32(n))  # n is static (shape-derived)
 
-    kernel = functools.partial(_diffusion_loop_kernel, combine=combine,
-                               fill=n, block=_BLOCK,
-                               sweep_batch=_SWEEP_BATCH)
-    lbl = _diffusion_call(kernel, mask.astype(jnp.int32), lbl0, jnp.int32)
+    lbl = _dispatch_diffusion(combine, n, mask.astype(jnp.int32), lbl0,
+                              jnp.int32, force_loop)
     return jnp.where(mask, lbl, -1)
 
 
