@@ -313,6 +313,37 @@ def test_watershed_batch_xla_fallback_matches_per_frame():
     np.testing.assert_array_equal(got, want)
 
 
+def test_settle_bulk_prologue_bit_identical():
+    """The static ungated bulk prologue + gated tail must equal the pure
+    gated loop settle bit-for-bit (labels AND arrival stamps), for any
+    bulk_sweeps — including past full convergence."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    from tissue_image_processing_tpu.ops.watershed import regional_minima_labels
+
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    img = make_cell_image(128, 128, n_seeds=15, seed=4)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    b = jnp.asarray(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
+    FP.pl.pallas_call = interp_call
+    try:
+        seeds = regional_minima_labels(b, use_pallas=True)
+        lam = FP.bf_flood_pallas.__wrapped__(b, seeds)
+        l0, t0 = FP.settle_pallas.__wrapped__(lam, seeds, bulk_sweeps=0)
+        # 150 > any settle chain at 128^2, so the last case runs the bulk
+        # prologue past full convergence (tail sees zero work)
+        for k in (8, 24, 150):
+            lk, tk = FP.settle_pallas.__wrapped__(lam, seeds, bulk_sweeps=k)
+            np.testing.assert_array_equal(np.asarray(l0), np.asarray(lk))
+            np.testing.assert_array_equal(np.asarray(t0), np.asarray(tk))
+    finally:
+        FP.pl.pallas_call = orig_call
+
+
 def test_diffusion_unrolled_matches_loop_form():
     """BF flood and CC diffusion give bit-identical results from the unrolled
     (static-index, small-shape) and loop (dynamic-block, big-shape) kernel
@@ -335,13 +366,21 @@ def test_diffusion_unrolled_matches_loop_form():
     try:
         seeds = regional_minima_labels(b, use_pallas=True)
         lam_u = FP.bf_flood_pallas.__wrapped__(b, seeds, force_loop=False)
-        lam_l = FP.bf_flood_pallas.__wrapped__(b, seeds, force_loop=True)
+        lam_l = FP.bf_flood_pallas.__wrapped__(b, seeds, force_loop=True,
+                                               bulk_sweeps=0)
+        lam_bk = FP.bf_flood_pallas.__wrapped__(b, seeds, force_loop=True,
+                                                bulk_sweeps=8)
         cc_u = FP.cc_diffusion_pallas.__wrapped__(mask, force_loop=False)
-        cc_l = FP.cc_diffusion_pallas.__wrapped__(mask, force_loop=True)
+        cc_l = FP.cc_diffusion_pallas.__wrapped__(mask, force_loop=True,
+                                                  bulk_sweeps=0)
+        cc_bk = FP.cc_diffusion_pallas.__wrapped__(mask, force_loop=True,
+                                                   bulk_sweeps=8)
     finally:
         FP.pl.pallas_call = orig_call
     np.testing.assert_array_equal(np.asarray(lam_u), np.asarray(lam_l))
+    np.testing.assert_array_equal(np.asarray(lam_u), np.asarray(lam_bk))
     np.testing.assert_array_equal(np.asarray(cc_u), np.asarray(cc_l))
+    np.testing.assert_array_equal(np.asarray(cc_u), np.asarray(cc_bk))
 
 
 def test_settle_loop_kernel_block_size_invariant():

@@ -72,6 +72,14 @@ _SWEEP_BATCH = 8
 # keeps Mosaic program size (and compile time) O(1) in H for 2048^2-class and
 # row-stacked shapes.
 _UNROLL_MAX_BLOCKS = 16
+# Ungated static bulk prologue: this many Jacobi sweeps run with every block
+# active and static addressing before the gated (loop) kernel converges the
+# tail — in the bulk phase everything IS active, so gating machinery is pure
+# overhead (the settle's p50 arrival stamp at 1024^2 is 24). 0 disables.
+_BULK_SWEEPS = 24
+# Bulk kernels unroll blocks statically; aim for ~16 blocks at any H (bigger
+# blocks = fewer halo copies, and gating granularity is irrelevant here).
+_BULK_BLOCK_TARGET = 16
 # The settle gates at batch granularity (see _settle_kernel); the batch must
 # stay <= _SETTLE_BLOCK so activity cannot cross a block within one batch.
 # 8 (not 16) keeps the unrolled program ~25% smaller than the round-2 version
@@ -281,6 +289,42 @@ def _diffusion_unrolled_kernel(aux_ref, st_in_ref, st_ref, halo_ref,
                        (jnp.bool_(True), jnp.int32(0)))
 
 
+def _diffusion_bulk_kernel(aux_ref, st_in_ref, st_ref, halo_ref, *, combine,
+                           fill, block, n_sweeps):
+    """Ungated static prologue of the diffusion: exactly ``n_sweeps`` Jacobi
+    sweeps with EVERY block updated, all addresses static (see
+    ``_settle_bulk_kernel`` for the rationale; these are monotone fixpoint
+    iterations, so any prefix of sweeps is identical no matter which kernel
+    runs it). Halo rows at (2b, 2b+1) per block, no sentinels needed —
+    edge blocks use ``fill`` rows directly (static specialization)."""
+    H, W = aux_ref.shape
+    n_blocks = H // block
+    fill_row = jnp.full((W,), fill, st_ref.dtype)
+    for b in range(n_blocks):
+        r0 = b * block
+        st_ref[pl.ds(r0, block), :] = st_in_ref[pl.ds(r0, block), :]
+
+    def sweep(_, __):
+        for b in range(n_blocks):
+            halo_ref[2 * b, :] = st_ref[b * block, :]
+            halo_ref[2 * b + 1, :] = st_ref[(b + 1) * block - 1, :]
+        for b in range(n_blocks):
+            r0 = b * block
+            st = st_ref[pl.ds(r0, block), :]
+            aux = aux_ref[pl.ds(r0, block), :]
+            up_edge = halo_ref[2 * b - 1, :] if b > 0 else fill_row
+            dn_edge = halo_ref[2 * b + 2, :] if b < n_blocks - 1 else fill_row
+            cand = jnp.minimum(
+                jnp.minimum(_shift_rows(st, True, up_edge),
+                            _shift_rows(st, False, dn_edge)),
+                jnp.minimum(_shift_cols(st, True, fill),
+                            _shift_cols(st, False, fill)))
+            st_ref[pl.ds(r0, block), :] = combine(st, cand, aux)
+        return 0
+
+    jax.lax.fori_loop(0, n_sweeps, sweep, 0)
+
+
 def _diffusion_call(kernel, aux, st0, dtype):
     H, W = aux.shape
     n_blocks = H // _BLOCK
@@ -316,9 +360,44 @@ def _diffusion_call_unrolled(kernel, aux, st0, dtype):
     )(aux, st0)
 
 
-def _dispatch_diffusion(combine, fill, aux, st0, dtype, force_loop: bool):
+def _bulk_block_for(H: int) -> int:
+    """The 64-multiple divisor of H whose block count is nearest the target
+    (H % 64 == 0 is guaranteed by pallas_flood_supported, so 64 always
+    qualifies and the candidate list is never empty)."""
+    return min((m for m in range(64, H + 1, 64) if H % m == 0),
+               key=lambda m: abs(H // m - _BULK_BLOCK_TARGET))
+
+
+def _diffusion_bulk_call(combine, fill, aux, st0, dtype, n_sweeps):
+    H, W = aux.shape
+    block = _bulk_block_for(H)
+    n_blocks = H // block
+    kernel = functools.partial(_diffusion_bulk_kernel, combine=combine,
+                               fill=fill, block=block, n_sweeps=n_sweeps)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * n_blocks, W), dtype)],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(aux, st0)
+
+
+def _dispatch_diffusion(combine, fill, aux, st0, dtype, force_loop: bool,
+                        bulk_sweeps: int | None = None):
     n_blocks = aux.shape[0] // _BLOCK
     if force_loop or n_blocks > _UNROLL_MAX_BLOCKS:
+        if bulk_sweeps is None:
+            bulk_sweeps = _BULK_SWEEPS
+        if bulk_sweeps > 0:
+            # static ungated prologue for the all-active bulk phase; the gated
+            # loop kernel converges the tail (identical fixpoint & values: the
+            # updates are monotone and extra visits are no-ops)
+            st0 = _diffusion_bulk_call(combine, fill, aux, st0, dtype,
+                                       bulk_sweeps)
         kernel = functools.partial(_diffusion_loop_kernel, combine=combine,
                                    fill=fill, block=_BLOCK,
                                    sweep_batch=_SWEEP_BATCH)
@@ -329,9 +408,10 @@ def _dispatch_diffusion(combine, fill, aux, st0, dtype, force_loop: bool):
     return _diffusion_call_unrolled(kernel, aux, st0, dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("force_loop",))
+@functools.partial(jax.jit, static_argnames=("force_loop", "bulk_sweeps"))
 def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray,
-                    force_loop: bool = False) -> jnp.ndarray:
+                    force_loop: bool = False,
+                    bulk_sweeps: int | None = None) -> jnp.ndarray:
     """Flood levels lam = minimax path elevation from any seed (phase 1)."""
     img = img.astype(jnp.float32)
     lam0 = jnp.where(seeds > 0, img, jnp.inf).astype(jnp.float32)
@@ -340,12 +420,13 @@ def bf_flood_pallas(img: jnp.ndarray, seeds: jnp.ndarray,
         return jnp.minimum(st, jnp.maximum(cand, aux))
 
     return _dispatch_diffusion(combine, float("inf"), img, lam0, jnp.float32,
-                               force_loop)
+                               force_loop, bulk_sweeps)
 
 
-@functools.partial(jax.jit, static_argnames=("force_loop",))
+@functools.partial(jax.jit, static_argnames=("force_loop", "bulk_sweeps"))
 def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None,
-                        force_loop: bool = False) -> jnp.ndarray:
+                        force_loop: bool = False,
+                        bulk_sweeps: int | None = None) -> jnp.ndarray:
     """4-connected component labels by min-diffusion: each component gets the MIN of
     its pixels' initial values (-1 outside the mask). With the default init (the flat
     pixel index) that is the root/top-left index. A custom ``init`` lets callers fold
@@ -365,13 +446,117 @@ def cc_diffusion_pallas(mask: jnp.ndarray, init: jnp.ndarray | None = None,
                          jnp.int32(n))  # n is static (shape-derived)
 
     lbl = _dispatch_diffusion(combine, n, mask.astype(jnp.int32), lbl0,
-                              jnp.int32, force_loop)
+                              jnp.int32, force_loop, bulk_sweeps)
     return jnp.where(mask, lbl, -1)
+
+
+def _settle_math(lam, lbl, t, up, dn, it):
+    """One Jacobi settle sweep over a (rows, W) block — the pure math shared
+    by the bulk (static) and tail (gated loop) settle kernels. ``up``/``dn``
+    are (lam, lbl, t) halo rows; returns (new_lbl, new_t, can)."""
+    block, W = lam.shape
+    inf = jnp.float32(jnp.inf)
+    big_t = jnp.int32(1 << 29)
+    settled = lbl != 0
+    nbrs = [
+        (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
+         _shift_rows(t, True, up[2])),
+        (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
+         _shift_rows(t, False, dn[2])),
+        (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
+         _shift_cols(t, True, big_t)),
+        (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
+         _shift_cols(t, False, big_t)),
+    ]
+    ready = jnp.ones_like(settled)
+    all_eq = jnp.ones_like(settled)
+    best_v = jnp.full((block, W), inf, jnp.float32)
+    best_t = jnp.full((block, W), big_t, jnp.int32)
+    best_l = jnp.zeros((block, W), jnp.int32)
+    minl = jnp.full((block, W), jnp.int32((1 << 30)), jnp.int32)
+    maxl = jnp.zeros((block, W), jnp.int32)
+    for qv, ql, qt in nbrs:
+        qsettled = ql != 0
+        ready = ready & ((~(qv < lam)) | qsettled)
+        all_eq = all_eq & ((~(qv <= lam)) | qsettled)
+        donor = (ql > 0) & (qv <= lam)
+        minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
+        maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
+        better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
+        best_v = jnp.where(better, qv, best_v)
+        best_t = jnp.where(better, qt, best_t)
+        best_l = jnp.where(better, ql, best_l)
+    has_donor = maxl > 0
+    conflict = has_donor & (minl != maxl)
+    unsettled = ~settled
+    settle_lbl = unsettled & ready & has_donor & (~conflict)
+    settle_line = unsettled & ready & conflict
+    settle_void = unsettled & ready & (~has_donor) & all_eq
+    can = settle_lbl | settle_line | settle_void
+    new_lbl = jnp.where(
+        settle_lbl, best_l,
+        jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
+    return new_lbl, jnp.where(can, it, t), can
+
+
+def _settle_bulk_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
+                        lam_halo, lbl_halo, t_halo, *, block, n_sweeps):
+    """Ungated static prologue of the settle: exactly ``n_sweeps`` Jacobi
+    sweeps with EVERY block updated, all block addresses static.
+
+    In the bulk phase (first ~p50 sweeps) every block is genuinely active, so
+    the gated loop kernel's per-block dispatch (active-list scan, scalar SMEM
+    reads, dynamic addressing on 6 refs per block per sweep) is pure overhead
+    there. This kernel is straight-line per sweep — n_blocks statically
+    unrolled block updates inside a ``fori_loop`` over sweeps — which Mosaic
+    schedules like the old unrolled settle but without the gating branches
+    that blew up its program size. The gated loop kernel then finishes the
+    tail from sweep ``n_sweeps + 1``; any prefix of Jacobi sweeps is the same
+    regardless of who runs it, so the split output is bit-identical."""
+    H, W = lam_ref.shape
+    n_blocks = H // block
+    inf = jnp.float32(jnp.inf)
+    big_t = jnp.int32(1 << 29)
+    for b in range(n_blocks):
+        r0 = b * block
+        lbl_ref[pl.ds(r0, block), :] = lbl_in_ref[pl.ds(r0, block), :]
+        t_ref[pl.ds(r0, block), :] = t_in_ref[pl.ds(r0, block), :]
+        lam_halo[2 * b + 1, :] = lam_ref[r0, :]
+        lam_halo[2 * b + 2, :] = lam_ref[r0 + block - 1, :]
+    lam_halo[0, :] = jnp.full((W,), inf)
+    lam_halo[2 * n_blocks + 1, :] = jnp.full((W,), inf)
+    lbl_halo[0, :] = jnp.zeros((W,), jnp.int32)
+    lbl_halo[2 * n_blocks + 1, :] = jnp.zeros((W,), jnp.int32)
+    t_halo[0, :] = jnp.full((W,), big_t)
+    t_halo[2 * n_blocks + 1, :] = jnp.full((W,), big_t)
+
+    def sweep(it, _):
+        for b in range(n_blocks):
+            r0 = b * block
+            lbl_halo[2 * b + 1, :] = lbl_ref[r0, :]
+            lbl_halo[2 * b + 2, :] = lbl_ref[r0 + block - 1, :]
+            t_halo[2 * b + 1, :] = t_ref[r0, :]
+            t_halo[2 * b + 2, :] = t_ref[r0 + block - 1, :]
+        for b in range(n_blocks):
+            r0 = b * block
+            lam = lam_ref[pl.ds(r0, block), :]
+            lbl = lbl_ref[pl.ds(r0, block), :]
+            t = t_ref[pl.ds(r0, block), :]
+            up = (lam_halo[2 * b, :], lbl_halo[2 * b, :], t_halo[2 * b, :])
+            dn = (lam_halo[2 * b + 3, :], lbl_halo[2 * b + 3, :],
+                  t_halo[2 * b + 3, :])
+            new_lbl, new_t, _ = _settle_math(lam, lbl, t, up, dn, it)
+            lbl_ref[pl.ds(r0, block), :] = new_lbl
+            t_ref[pl.ds(r0, block), :] = new_t
+        return 0
+
+    jax.lax.fori_loop(1, n_sweeps + 1, sweep, 0)
 
 
 def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                         lam_halo, lbl_halo, t_halo, flags_ref, run_ref,
-                        cnt_ref, *, block=_SETTLE_BLOCK, sweep_batch=None):
+                        cnt_ref, *, block=_SETTLE_BLOCK, sweep_batch=None,
+                        it_start=1):
     """Dynamic-block-index variant of ``_settle_kernel``: the same math, but
     blocks are visited via ``lax.fori_loop`` over a compact ACTIVE LIST built
     once per batch, so the compiled program is O(1) in H — the unrolled
@@ -417,50 +602,12 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
         lam = lam_ref[pl.ds(r0, block), :]
         lbl = lbl_ref[pl.ds(r0, block), :]
         t = t_ref[pl.ds(r0, block), :]
-        settled = lbl != 0
         up = (lam_halo[2 * b, :], lbl_halo[2 * b, :], t_halo[2 * b, :])
         dn = (lam_halo[2 * b + 3, :], lbl_halo[2 * b + 3, :],
               t_halo[2 * b + 3, :])
-        nbrs = [
-            (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1]),
-             _shift_rows(t, True, up[2])),
-            (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1]),
-             _shift_rows(t, False, dn[2])),
-            (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0),
-             _shift_cols(t, True, big_t)),
-            (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0),
-             _shift_cols(t, False, big_t)),
-        ]
-        ready = jnp.ones_like(settled)
-        all_eq = jnp.ones_like(settled)
-        best_v = jnp.full((block, W), inf, jnp.float32)
-        best_t = jnp.full((block, W), big_t, jnp.int32)
-        best_l = jnp.zeros((block, W), jnp.int32)
-        minl = jnp.full((block, W), jnp.int32((1 << 30)), jnp.int32)
-        maxl = jnp.zeros((block, W), jnp.int32)
-        for qv, ql, qt in nbrs:
-            qsettled = ql != 0
-            ready = ready & ((~(qv < lam)) | qsettled)
-            all_eq = all_eq & ((~(qv <= lam)) | qsettled)
-            donor = (ql > 0) & (qv <= lam)
-            minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
-            maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
-            better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
-            best_v = jnp.where(better, qv, best_v)
-            best_t = jnp.where(better, qt, best_t)
-            best_l = jnp.where(better, ql, best_l)
-        has_donor = maxl > 0
-        conflict = has_donor & (minl != maxl)
-        unsettled = ~settled
-        settle_lbl = unsettled & ready & has_donor & (~conflict)
-        settle_line = unsettled & ready & conflict
-        settle_void = unsettled & ready & (~has_donor) & all_eq
-        can = settle_lbl | settle_line | settle_void
-        new_lbl = jnp.where(
-            settle_lbl, best_l,
-            jnp.where(settle_line, -1, jnp.where(settle_void, -2, lbl)))
+        new_lbl, new_t, can = _settle_math(lam, lbl, t, up, dn, it)
         lbl_ref[pl.ds(r0, block), :] = new_lbl
-        t_ref[pl.ds(r0, block), :] = jnp.where(can, it, t)
+        t_ref[pl.ds(r0, block), :] = new_t
         flags_ref[b + 1] = flags_ref[b + 1] | jnp.any(can).astype(jnp.int32)
 
     def batch_body(carry):
@@ -511,28 +658,15 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
         return changed > 0, it0 + sweep_batch
 
     jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), batch_body,
-                       (jnp.bool_(True), jnp.int32(1)))
+                       (jnp.bool_(True), jnp.int32(it_start)))
 
 
-@functools.partial(jax.jit, static_argnames=("block", "sweep_batch"))
-def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
-                       block: int = _SETTLE_BLOCK,
-                       sweep_batch: int = _SETTLE_SWEEP_BATCH
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """``settle_pallas`` built on the O(1)-program-size loop kernel.
-
-    ``block``/``sweep_batch`` tune the bulk-vs-tail tradeoff (sweep_batch must
-    stay <= block for the batch-gating exactness argument); output is
-    bit-identical for any valid setting."""
+def _settle_tail_call(lam, lbl0, t0, block, sweep_batch, it_start):
     H, W = lam.shape
-    assert sweep_batch <= block and H % block == 0
-    big_t = jnp.int32(1 << 29)
-    lbl0 = seeds.astype(jnp.int32)
-    t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
     n_blocks = H // block
-    lbl, t = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_settle_loop_kernel, block=block,
-                          sweep_batch=sweep_batch),
+                          sweep_batch=sweep_batch, it_start=it_start),
         out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
                    jax.ShapeDtypeStruct((H, W), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -551,10 +685,60 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(lam.astype(jnp.float32), lbl0, t0)
-    return lbl, t
 
 
-# The unrolled settle kernel is gone: the loop kernel is bit-identical,
-# slightly faster at 1024^2 (8.4 vs 9.4 ms measured), and compiles in seconds
-# at every size instead of minutes-to-hours past 64 blocks.
+def _settle_bulk_call(lam, lbl0, t0, block, n_sweeps):
+    H, W = lam.shape
+    n_blocks = H // block
+    return pl.pallas_call(
+        functools.partial(_settle_bulk_kernel, block=block,
+                          n_sweeps=n_sweeps),
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
+                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_blocks + 2, W), jnp.float32),
+            pltpu.VMEM((2 * n_blocks + 2, W), jnp.int32),
+            pltpu.VMEM((2 * n_blocks + 2, W), jnp.int32),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(lam.astype(jnp.float32), lbl0, t0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "sweep_batch", "bulk_sweeps"))
+def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
+                       block: int = _SETTLE_BLOCK,
+                       sweep_batch: int = _SETTLE_SWEEP_BATCH,
+                       bulk_sweeps: int | None = None,
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Settle = static ungated BULK prologue + batch-gated loop TAIL.
+
+    ``bulk_sweeps`` Jacobi sweeps run first in ``_settle_bulk_kernel`` (every
+    block active, static addressing); the gated loop kernel finishes from
+    sweep ``bulk_sweeps + 1``. Any prefix of Jacobi sweeps is identical no
+    matter which kernel runs it and starting the tail all-active is exact
+    (extra visits to converged blocks are no-ops), so the output — including
+    arrival stamps — is bit-identical for ANY (block, sweep_batch <= block,
+    bulk_sweeps >= 0) setting."""
+    H, W = lam.shape
+    assert sweep_batch <= block and H % block == 0
+    big_t = jnp.int32(1 << 29)
+    lbl0 = seeds.astype(jnp.int32)
+    t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
+    if bulk_sweeps is None:
+        bulk_sweeps = _BULK_SWEEPS
+    it_start = 1
+    if bulk_sweeps > 0:
+        lbl0, t0 = _settle_bulk_call(lam, lbl0, t0, _bulk_block_for(H),
+                                     bulk_sweeps)
+        it_start = bulk_sweeps + 1
+    return _settle_tail_call(lam, lbl0, t0, block, sweep_batch, it_start)
+
+
 settle_pallas = settle_pallas_loop
