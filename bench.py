@@ -316,7 +316,10 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                               dtype=jnp.bfloat16)
 
     def run_cfg3():
-        # U-Net inference on 8 projected frames (1024^2, 2ch, bf16)
+        # U-Net inference on 8 projected frames (1024^2, 2ch, bf16).
+        # Roofline: this forward is 4.94 TFLOP at 1024^2 (XLA cost_analysis on
+        # the jitted graph), so one v5e chip (~197 TF/s bf16) bounds it at
+        # ~25 ms/frame = ~40 fps at 100% MFU — cfg3 measures MFU, not ops.
         x1 = jnp.stack([projs[0] / jnp.maximum(projs[0].max(), 1.0)] * 2,
                        axis=-1)
 

@@ -12,15 +12,22 @@ zero times:
 All kernels share one structure: the image is split into row blocks; each
 8-sweep BATCH visits only the ACTIVE blocks (a block runs iff it or a
 row-neighbor changed during the previous batch — exact, see the kernel
-docstrings). Block visits come in two equivalent forms, chosen by size: a
-fully-unrolled static-index form for small block counts (BF/CC at
-<= _UNROLL_MAX_BLOCKS blocks — better Mosaic scheduling in the bulk phase
-where every block is active), and a ``lax.fori_loop`` over a compact active
-list with dynamic block indices whose compiled program is O(1) in H. The
-latter is load-bearing for big shapes: unrolled per-block code made Mosaic
-compile time grow superlinearly with block count (minutes at 64 blocks,
-effectively unbounded at the 2048^2 / stacked-frame shapes, through a dev
-tunnel where every compile is remote). Jacobi (synchronous) semantics
+docstrings). Three equivalent execution forms, chosen by size and phase:
+
+- an ungated static BULK prologue (``_*_bulk_kernel``) runs the first
+  ``_BULK_SWEEPS`` sweeps as straight-line code — in that phase every block
+  is genuinely active, so gating machinery is pure overhead;
+- a fully-unrolled gated form for small block counts (BF/CC at
+  <= _UNROLL_MAX_BLOCKS blocks);
+- a gated ``lax.fori_loop`` over a compact active list with dynamic block
+  indices whose compiled program is O(1) in H — load-bearing for big shapes:
+  unrolled gated code made Mosaic compile time grow superlinearly with block
+  count (minutes at 64 blocks, effectively unbounded at the 2048^2 /
+  stacked-frame shapes, through a dev tunnel where every compile is remote).
+
+All splits are bit-identical (asserted in tests): any prefix of Jacobi
+sweeps is the same no matter which kernel runs it, and the updates are
+monotone so extra visits to converged blocks are no-ops. Jacobi semantics
 with in-place updates come from per-sweep snapshots of block-boundary halo
 rows; sentinel halo rows at the image border remove edge-block special cases.
 Semantics match ops/watershed.py exactly (asserted in tests on CPU via
