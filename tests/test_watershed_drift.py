@@ -203,6 +203,47 @@ def test_cc_diffusion_pallas_matches_cc():
     np.testing.assert_array_equal(got, want)
 
 
+def test_cc_scan_matches_sweep():
+    # the segmented-scan cc kernel must equal the sweep kernels bit-for-bit
+    # (same schedule-independent fixpoint) — on a percolation mask, a giant
+    # binary sea (the unet_postprocess structure it exists for), and a spiral
+    # (worst-case staircase count: one HV iteration per turn)
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    rng = np.random.default_rng(5)
+    perc = rng.random((128, 128)) < 0.5
+    sea = np.ones((128, 128), bool)
+    sea[20:40, :100] = False
+    sea[60:110, 30:31] = False
+    spiral = np.zeros((128, 128), bool)
+    lo, hi = 0, 127
+    while lo < hi - 8:  # one-pixel spiral corridor
+        spiral[lo, lo:hi] = True
+        spiral[lo:hi, hi] = True
+        spiral[hi, lo + 4:hi] = True
+        spiral[lo + 4:hi, lo] = True
+        lo, hi = lo + 4, hi - 4
+    # contract shared by both forms: init < H*W (the sweep kernels use H*W as
+    # the out-of-mask sentinel, so larger inits would take the sentinel as a
+    # component min; real callers pass idx or idx - n)
+    init = rng.integers(0, 128 * 128, (128, 128)).astype(np.int32)
+    FP.pl.pallas_call = interp_call
+    try:
+        for mask in (perc, sea, spiral):
+            got = np.asarray(FP.cc_diffusion_pallas(
+                jnp.asarray(mask), init=jnp.asarray(init), scan=True))
+            want = np.asarray(FP.cc_diffusion_pallas(
+                jnp.asarray(mask), init=jnp.asarray(init), scan=False))
+            np.testing.assert_array_equal(got, want)
+    finally:
+        FP.pl.pallas_call = orig_call
+
+
 def _stage_jump_pair(shift=(150, -100), size=256, seed=7):
     """Non-circular translation: new random content enters the vacated region,
     so plain phase correlation sees only the (small) true overlap."""

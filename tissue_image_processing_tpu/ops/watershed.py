@@ -294,24 +294,16 @@ def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
         lbl, settled, t = state["lbl"], state["settled"], state["t"]
         ready = jnp.ones((H, W), bool)
         all_settled_eq = jnp.ones((H, W), bool)
-        best_v = jnp.full((H, W), jnp.inf, jnp.float32)
-        best_t = jnp.full((H, W), big_t, jnp.int32)
-        best_l = jnp.zeros((H, W), jnp.int32)
         minl = jnp.full((H, W), jnp.iinfo(jnp.int32).max, jnp.int32)
         maxl = jnp.zeros((H, W), jnp.int32)
         for (dy, dx), qv in zip(_NBRS4, q_lam):
             ql = _nbr_val(lbl, dy, dx, 0)
             qs = _nbr_val(settled, dy, dx, True)
-            qt = _nbr_val(t, dy, dx, big_t)
             ready = ready & ((~(qv < lam)) | qs)
             all_settled_eq = all_settled_eq & ((~(qv <= lam)) | qs)
             donor = qs & (ql > 0) & (qv <= lam)
             minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
             maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
-            better = donor & ((qv < best_v) | ((qv == best_v) & (qt < best_t)))
-            best_v = jnp.where(better, qv, best_v)
-            best_t = jnp.where(better, qt, best_t)
-            best_l = jnp.where(better, ql, best_l)
         has_donor = maxl > 0
         conflict = has_donor & (minl != maxl)
         settle_lbl = (~settled) & ready & has_donor & (~conflict)
@@ -319,8 +311,11 @@ def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
         # void: nothing can ever donate (all <=lam neighbors settled, none labeled)
         settle_void = (~settled) & ready & (~has_donor) & all_settled_eq
         can = settle_lbl | settle_line | settle_void
+        # the taken label needs no (lam, t) priority tie-break: it only
+        # applies in the no-conflict branch, where all donors agree — maxl IS
+        # the donated label (identical to the old best-donor tracking)
         return dict(
-            lbl=jnp.where(settle_lbl, best_l, jnp.where(can, 0, lbl)),
+            lbl=jnp.where(settle_lbl, maxl, jnp.where(can, 0, lbl)),
             settled=settled | can,
             t=jnp.where(can, state["it"], t),
             it=state["it"] + 1,
