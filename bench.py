@@ -310,10 +310,12 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
 
         return round(N_IT / _timed_loop(lambda: cfg2(movie_dev), N_IT), 2)
 
-    from tissue_image_processing_tpu.models.unet import UNet, build_unet
-    model = UNet(depth=3, base_filters=128, dtype=jnp.bfloat16)
+    from tissue_image_processing_tpu.models.unet import (UNet, build_unet,
+                                                         fold_batchnorm)
+    model = UNet(depth=3, base_filters=128, dtype=jnp.bfloat16, norm="shift")
     _, variables = build_unet((H, W, 2), depth=3, base_filters=128,
                               dtype=jnp.bfloat16)
+    variables = fold_batchnorm(variables, depth=3)  # inference form
 
     def run_cfg3():
         # U-Net inference on 8 projected frames (1024^2, 2ch, bf16).

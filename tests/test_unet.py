@@ -163,3 +163,48 @@ def test_subpixel_up_matches_convtranspose():
     sub = UNet(depth=2, base_filters=8, up_kind="subpixel")
     got = sub.apply(variables_to_subpixel(variables), x, train=False)
     assert float(jnp.abs(want - got).max()) < 1e-5
+
+
+def test_fold_batchnorm_matches_bn():
+    """UNet(norm="shift") with fold_batchnorm'd weights reproduces the BN
+    inference model: the BN scale commutes back through the ReLU into its
+    conv's output channels (a > 0), leaving only the per-channel shift."""
+    import jax
+    import jax.tree_util as tu
+    from tissue_image_processing_tpu.models.unet import (
+        UNet, build_unet, fold_batchnorm)
+
+    model, variables = build_unet((64, 64, 2), depth=2, base_filters=8)
+    key = jax.random.PRNGKey(1)
+
+    def perturb(path, x):  # make BN stats/affine non-trivial
+        k2 = jax.random.fold_in(key, hash(str(path)) % (2 ** 31))
+        return x + jax.random.uniform(k2, x.shape, x.dtype, 0.01, 0.5)
+
+    variables = {
+        "params": tu.tree_map_with_path(
+            lambda p, x: perturb(p, x)
+            if "scale" in str(p) or "bias" in str(p) else x,
+            variables["params"]),
+        "batch_stats": tu.tree_map_with_path(perturb,
+                                             variables["batch_stats"]),
+    }
+    x = jnp.asarray(np.random.default_rng(2).random((1, 64, 64, 2)),
+                    jnp.float32)
+    want = model.apply(variables, x, train=False)
+    folded = fold_batchnorm(variables, depth=2)
+    assert folded is not None
+    got = UNet(depth=2, base_filters=8, norm="shift").apply(
+        folded, x, train=False)
+    assert float(jnp.abs(want - got).max()) < 1e-5
+
+    # a gamma <= 0 must refuse the fold (ReLU commute needs a > 0)
+    bad = jax.tree_util.tree_map(lambda x: x, variables)
+    bad["params"] = dict(bad["params"])
+    bad["params"]["DoubleConv_0"] = dict(bad["params"]["DoubleConv_0"])
+    bad["params"]["DoubleConv_0"]["BatchNorm_0"] = {
+        "scale": variables["params"]["DoubleConv_0"]["BatchNorm_0"]["scale"]
+        * -1.0,
+        "bias": variables["params"]["DoubleConv_0"]["BatchNorm_0"]["bias"],
+    }
+    assert fold_batchnorm(bad, depth=2) is None

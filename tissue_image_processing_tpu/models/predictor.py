@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tissue_image_processing_tpu.models.unet import UNet, build_unet
+from tissue_image_processing_tpu.models.unet import (UNet, build_unet,
+                                                     fold_batchnorm)
 from tissue_image_processing_tpu.models.weights_io import load_keras_unet_weights
 from tissue_image_processing_tpu.ops.brightness import normalize_channel
 from tissue_image_processing_tpu.ops.morphology import (
@@ -54,7 +55,11 @@ def unet_postprocess(predictions: jnp.ndarray, hc_threshold: float = 0.1,
     hc = binary_erosion(closed, erosion_kernel)
     bound = closed & (~hc)
     boundary = binary_dilation(bound, closing_kernel)
-    labels = watershed(boundary.astype(jnp.float32), watershed_line=True)
+    # binary boundary map -> image-scale minima plateaus (the background sea):
+    # the scan-based CC labeling converges in O(log) passes where the sweep
+    # form needs ~image-diameter sweeps (7.6 ms -> ~3 ms at 1024^2)
+    labels = watershed(boundary.astype(jnp.float32), watershed_line=True,
+                       minima_scan=True)
     return labels, hc
 
 
@@ -64,7 +69,7 @@ class SegmentationPredictor:
 
     def __init__(self, model_weights_path: Optional[str], image_shape,
                  depth: int = 3, base_filters: int = 128, dtype=jnp.bfloat16,
-                 variables=None):
+                 variables=None, fold_bn: bool = True):
         sy, sx = find_desired_shape(image_shape[-2], image_shape[-1])
         self.model_shape = (sx, sy, 2)  # x-major like the reference
         self.dtype = dtype
@@ -74,6 +79,12 @@ class SegmentationPredictor:
                                       base_filters=base_filters, dtype=dtype)
             if model_weights_path:
                 variables = load_keras_unet_weights(variables, model_weights_path)
+        if fold_bn:
+            folded = fold_batchnorm(variables, depth=depth)
+            if folded is not None:  # None: a gamma <= 0 blocks the fold
+                self.model = UNet(depth=depth, base_filters=base_filters,
+                                  dtype=dtype, norm="shift")
+                variables = folded
         self.variables = variables
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
 

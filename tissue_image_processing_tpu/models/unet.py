@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["UNet", "build_unet"]
+__all__ = ["UNet", "build_unet", "fold_batchnorm"]
 
 
 class _FusedConv(nn.Module):
@@ -78,7 +78,9 @@ class _FusedConvTranspose(nn.Module):
 class DoubleConv(nn.Module):
     """Conv3x3 -> ReLU -> BatchNorm, twice (Keras order: activation before BN,
     reference ``prediction_local.py:31-38``). ``norm="none"`` drops the BN
-    (ablation / perf experiments only — not the reference architecture).
+    (ablation / perf experiments only — not the reference architecture);
+    ``norm="shift"`` replaces it with a per-channel bias — the inference form
+    produced by :func:`fold_batchnorm` (BN scale folded into the conv).
 
     The conv accumulates in f32 and the relu/BN epilogue stays f32 (fused by
     XLA into the conv); activations re-enter ``dtype`` at the next conv."""
@@ -98,6 +100,9 @@ class DoubleConv(nn.Module):
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                                  epsilon=1e-3, dtype=jnp.float32,
                                  name=f"BatchNorm_{i}")(x)
+            elif self.norm == "shift":
+                x = x + self.param(f"Shift_{i}", nn.initializers.zeros_init(),
+                                   (self.filters,), jnp.float32)
         return x.astype(self.dtype)
 
 
@@ -186,6 +191,50 @@ def build_unet(input_shape: Tuple[int, int, int], depth: int = 3,
     variables = model.init({"params": rng}, jnp.zeros((1,) + tuple(input_shape)),
                            train=False)
     return model, variables
+
+
+def _bn_affine(bn_params: dict, bn_stats: dict, eps: float = 1e-3):
+    """Running-stats BatchNorm as y -> a*y + b."""
+    a = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    return a, bn_params["bias"] - bn_stats["mean"] * a
+
+
+def fold_batchnorm(variables: dict, depth: int = 3) -> dict | None:
+    """Inference-only transform: fold each post-ReLU BatchNorm's scale into
+    its own conv, returning variables for ``UNet(norm="shift")``.
+
+    The reference net (prediction_local.py:31-38) orders Conv -> ReLU -> BN.
+    Pushing the full affine FORWARD through the next zero-SAME-padded conv is
+    inexact at borders (padded taps read 0, not the shift), so instead: with
+    per-channel a > 0, BN(relu(y)) = a*relu(y) + b = relu(a*y) + b — the
+    scale commutes back through the ReLU into the conv's OUTPUT channels
+    (padding-immune), leaving only a per-channel "+b" at the BN site, which
+    XLA fuses into the conv epilogue. Returns None if any a <= 0 (never for
+    real trained gammas) so callers keep the BN model. Mathematically
+    identical output; removes the mean/var/scale traffic of 14 full-frame
+    BatchNorms per forward.
+    """
+    if "batch_stats" not in variables:
+        return None
+    # stay on device: a device_get/deepcopy here would hand jit host numpy
+    # params, re-transferred on every call (~2 s/call via the dev tunnel)
+    params = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in variables["params"].items()}
+    stats = variables["batch_stats"]
+    n_dc = 2 * depth + 1
+    for k in range(n_dc):
+        dc = params[f"DoubleConv_{k}"]
+        for i in range(2):
+            a, b = _bn_affine(dc[f"BatchNorm_{i}"],
+                              stats[f"DoubleConv_{k}"][f"BatchNorm_{i}"])
+            if bool(jnp.any(a <= 0)):
+                return None
+            conv = dc[f"Conv_{i}"]
+            dc[f"Conv_{i}"] = {"kernel": conv["kernel"] * a[None, None, None, :],
+                               "bias": conv["bias"] * a}
+            del dc[f"BatchNorm_{i}"]
+            dc[f"Shift_{i}"] = b
+    return {"params": params}
 
 
 def fold_convtranspose_kernel(w: jnp.ndarray) -> jnp.ndarray:

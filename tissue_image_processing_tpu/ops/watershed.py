@@ -68,14 +68,20 @@ def _pallas_enabled(shape) -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "scan"))
 def regional_minima_labels(image: jnp.ndarray,
-                           use_pallas: bool | None = None) -> jnp.ndarray:
+                           use_pallas: bool | None = None,
+                           scan: bool = False) -> jnp.ndarray:
     """Label regional minima plateaus 1..N in raster order (0 elsewhere).
 
     ``use_pallas``: None = auto (TPU backend + size fits VMEM). Pass True/False
     explicitly to pin the path — it is a static argument, so unlike a module flag it
     correctly retraces instead of silently reusing the other path's cached trace.
+
+    ``scan``: route the two CC diffusions through the segmented-scan kernel —
+    the right tool when minima plateaus are image-scale (binary boundary maps,
+    where the background sea otherwise needs ~diameter sweeps: 58 ms at 2048^2);
+    leave off for smooth images whose plateaus converge in a few gated sweeps.
     """
     img = image.astype(jnp.float32)
     inf = jnp.float32(jnp.inf)
@@ -107,7 +113,7 @@ def regional_minima_labels(image: jnp.ndarray,
         n = H * W
         idx2 = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
         init = jnp.where(bad & candidate, idx2 - n, idx2)
-        comp = cc_diffusion_pallas(candidate, init=init)
+        comp = cc_diffusion_pallas(candidate, init=init, scan=scan)
         # dense raster-order 1..N labels via a SECOND diffusion: roots
         # (self-pointing pixels of clean components) seed their prefix-count
         # rank and the component min propagates it — a 1M random gather
@@ -117,7 +123,7 @@ def regional_minima_labels(image: jnp.ndarray,
         is_root = ok & (comp == idx2)
         rank = jnp.cumsum(is_root.ravel().astype(jnp.int32)).reshape(H, W)
         init2 = jnp.where(is_root, rank, jnp.int32(n))
-        seeds = cc_diffusion_pallas(ok, init=init2)
+        seeds = cc_diffusion_pallas(ok, init=init2, scan=scan)
         return jnp.where(seeds > 0, seeds, 0).astype(jnp.int32)
     # dense 1..N in raster order; shift to root-style [0, N) with -1 background
     comp_flat = connected_components(candidate, connectivity=1).ravel() - 1
@@ -135,10 +141,12 @@ def regional_minima_labels(image: jnp.ndarray,
     return relabel_sequential(seeds, background=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("watershed_line", "use_pallas"))
+@functools.partial(jax.jit, static_argnames=("watershed_line", "use_pallas",
+                                             "minima_scan"))
 def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
               watershed_line: bool = True,
-              use_pallas: bool | None = None) -> jnp.ndarray:
+              use_pallas: bool | None = None,
+              minima_scan: bool = False) -> jnp.ndarray:
     """Flood ``image`` from its regional minima (or from ``markers`` if given).
 
     Returns int32 labels 1..N; with ``watershed_line`` the one-pixel separating lines
@@ -171,10 +179,12 @@ def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
                             constant_values=jnp.inf)
             mk_p = (None if markers is None else
                     jnp.pad(markers, ((0, Hp - H), (0, Wp - W))))
-            out = _watershed_core(img_p, mk_p, watershed_line, True)
+            out = _watershed_core(img_p, mk_p, watershed_line, True,
+                                  minima_scan)
             return out[:H, :W]
         use_pallas = False
-    return _watershed_core(image, markers, watershed_line, use_pallas)
+    return _watershed_core(image, markers, watershed_line, use_pallas,
+                           minima_scan)
 
 
 _STACK_SEP = 16  # inf rows between stacked frames; >=1 isolates the 4-neighbor
@@ -231,13 +241,15 @@ def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
 
 
 def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
-                    watershed_line: bool, use_pallas: bool) -> jnp.ndarray:
+                    watershed_line: bool, use_pallas: bool,
+                    minima_scan: bool = False) -> jnp.ndarray:
     H, W = image.shape
     img = image.astype(jnp.float32)
     inf = jnp.float32(jnp.inf)
 
     if markers is None:
-        markers = regional_minima_labels(img, use_pallas=use_pallas)
+        markers = regional_minima_labels(img, use_pallas=use_pallas,
+                                         scan=minima_scan)
     seeds = markers.astype(jnp.int32)
 
     seeded = seeds > 0
