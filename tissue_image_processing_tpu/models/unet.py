@@ -222,18 +222,21 @@ def fold_batchnorm(variables: dict, depth: int = 3) -> dict | None:
               for k, v in variables["params"].items()}
     stats = variables["batch_stats"]
     n_dc = 2 * depth + 1
+    import numpy as _np
+    scale_mins = []  # one host read for all BNs (each read syncs the tunnel)
     for k in range(n_dc):
         dc = params[f"DoubleConv_{k}"]
         for i in range(2):
             a, b = _bn_affine(dc[f"BatchNorm_{i}"],
                               stats[f"DoubleConv_{k}"][f"BatchNorm_{i}"])
-            if bool(jnp.any(a <= 0)):
-                return None
+            scale_mins.append(jnp.min(a))
             conv = dc[f"Conv_{i}"]
             dc[f"Conv_{i}"] = {"kernel": conv["kernel"] * a[None, None, None, :],
                                "bias": conv["bias"] * a}
             del dc[f"BatchNorm_{i}"]
             dc[f"Shift_{i}"] = b
+    if _np.asarray(jnp.min(jnp.stack(scale_mins))) <= 0:
+        return None
     return {"params": params}
 
 
