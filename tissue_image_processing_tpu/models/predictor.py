@@ -50,7 +50,18 @@ def unet_postprocess(predictions: jnp.ndarray, hc_threshold: float = 0.1,
                      closing_kernel: int = 5, erosion_kernel: int = 7):
     """(H, W, 2) softmax output -> (labels, HC mask) via the reference's morphology
     chain (``prediction_local.py:167-194``)."""
-    hc_b = predictions[..., 0] > hc_threshold
+    p0 = predictions[..., 0]
+    # Layout firewall: a Mosaic custom call pins default layouts on its
+    # operands, and XLA propagates that constraint BACKWARD through
+    # elementwise/morphology ops into any conv chain feeding it — every conv
+    # in the program then runs in the worse layout (+20.5 ms measured on the
+    # 1024^2 U-Net composed with ANY pallas call consuming its output, even a
+    # trivial copy; optimization_barrier/bitcast/pad/transpose do NOT block
+    # it). A dot has its own layout preference and is the one op measured to
+    # stop the propagation; identity-matmul is exact (x*1 + 0-products) and
+    # costs ~10 us on the MXU.
+    p0 = p0 @ jnp.eye(p0.shape[-1], dtype=p0.dtype)
+    hc_b = p0 > hc_threshold
     closed = binary_closing(hc_b, closing_kernel)
     hc = binary_erosion(closed, erosion_kernel)
     bound = closed & (~hc)
