@@ -117,11 +117,13 @@ def _shift_rows(x, down: bool, edge):
 
 
 def _shift_cols(x, right: bool, fill):
+    """Shift a (rows, cols) block by one column; vacated column filled with
+    ``fill`` — a scalar, or a (rows, 1) halo column (2D-tiled settle)."""
+    if getattr(fill, "ndim", 0) != 2:
+        fill = jnp.full((x.shape[0], 1), fill, x.dtype)
     if right:  # out[:, c] = x[:, c-1]
-        return jnp.concatenate([jnp.full((x.shape[0], 1), fill, x.dtype),
-                                x[:, :-1]], axis=1)
-    return jnp.concatenate([x[:, 1:],
-                            jnp.full((x.shape[0], 1), fill, x.dtype)], axis=1)
+        return jnp.concatenate([fill.astype(x.dtype), x[:, :-1]], axis=1)
+    return jnp.concatenate([x[:, 1:], fill.astype(x.dtype)], axis=1)
 
 
 def _diffusion_loop_kernel(aux_ref, st_in_ref, st_ref, halo_ref, flags_ref,
@@ -698,10 +700,12 @@ def _cc_scan_call(conn: jnp.ndarray, lbl0: jnp.ndarray) -> jnp.ndarray:
     )(conn.astype(jnp.int32), lbl0.astype(jnp.int32))
 
 
-def _settle_math(lam, lbl, up, dn):
-    """One Jacobi settle sweep over a (rows, W) block — the pure math shared
-    by the bulk (static) and tail (gated loop) settle kernels. ``up``/``dn``
-    are (lam, lbl) halo rows; returns (new_lbl, can).
+def _settle_math(lam, lbl, up, dn, left=None, right=None):
+    """One Jacobi settle sweep over a (rows, cols) block — the pure math
+    shared by the bulk (static) and tail (gated loop) settle kernels.
+    ``up``/``dn`` are (lam, lbl) halo rows; ``left``/``right`` are (lam, lbl)
+    halo columns as (rows, 1) arrays (None = image border: +inf/0). Returns
+    (new_lbl, can).
 
     The donated label needs NO priority tie-break: it is only taken in the
     no-conflict branch, where by definition every donor carries the same
@@ -712,12 +716,14 @@ def _settle_math(lam, lbl, up, dn):
     original per-pixel op count, bit-identical output."""
     block, W = lam.shape
     inf = jnp.float32(jnp.inf)
+    lam_l, lbl_l = (inf, 0) if left is None else left
+    lam_r, lbl_r = (inf, 0) if right is None else right
     settled = lbl != 0
     nbrs = [
         (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1])),
         (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1])),
-        (_shift_cols(lam, True, inf), _shift_cols(lbl, True, 0)),
-        (_shift_cols(lam, False, inf), _shift_cols(lbl, False, 0)),
+        (_shift_cols(lam, True, lam_l), _shift_cols(lbl, True, lbl_l)),
+        (_shift_cols(lam, False, lam_r), _shift_cols(lbl, False, lbl_r)),
     ]
     ready = jnp.ones_like(settled)
     all_eq = jnp.ones_like(settled)
@@ -893,6 +899,201 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                        (jnp.bool_(True), jnp.int32(it_start)))
 
 
+def _settle_loop2d_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
+                          lam_rh, lbl_rh, lam_ch, lbl_ch, flags_ref,
+                          run_ref, cnt_ref, *, block, cblock, sweep_batch,
+                          it_start):
+    """2D-tiled twin of ``_settle_loop_kernel``: gating at (block x cblock)
+    TILE granularity instead of full-width row blocks.
+
+    Why: the settle tail follows thin watershed-line chains. A 16-row
+    full-width block is "active" whenever a chain crosses it ANYWHERE in its
+    W pixels, so at 2048^2 row gating skips almost nothing (measured: settle
+    time flat in bulk_sweeps — every tail sweep still pays ~all blocks).
+    Column-tiled gating only sweeps the tiles a chain actually passes
+    through.
+
+    Structure: column STRIPES are a static Python loop (n_cb = W/cblock is
+    small, and static stripe offsets keep every lane index constant — Mosaic
+    only needs dynamic addresses on sublanes, which the row kernels already
+    rely on); rows within a stripe run via ``fori_loop`` over a per-stripe
+    active list, so program size stays O(n_cb), not O(n_blocks).
+
+    Halos: rows as in the 1D kernel (full-width arrays, active tiles
+    snapshot their stripe's segment). Columns via (H, 2*n_cb+2) arrays with
+    halo columns at static lane indices — lam's are built once (read-only in
+    the settle), lbl's are snapshotted per sweep by the owning tile. A quiet
+    tile's snapshot is stale-but-equal: a tile only changes when it runs, and
+    every run re-snapshots first.
+
+    Gating exactness in 2D needs the run set to be the 3x3 (NOT just +row)
+    dilation of last batch's changed tiles: within a batch, influence from a
+    changed tile travels at most ``sweep_batch <= min(block, cblock)`` pixels
+    of L1 distance, so it cannot fully cross a tile — but it CAN cut a corner
+    (enter the top edge 1 px from the right edge and exit sideways within 2
+    sweeps), i.e. reach a diagonal neighbor. The 3x3 dilation covers exactly
+    the tiles reachable within one batch; everything else is the 1D argument
+    unchanged. Jacobi discipline: per sweep, ALL stripes snapshot their halo
+    rows/columns, then all stripes run — so every halo read is the pre-sweep
+    value regardless of stripe order. Output (labels AND stamps) is
+    bit-identical to the 1D kernels (asserted in tests)."""
+    H, W = lam_ref.shape
+    n_rb = H // block
+    n_cb = W // cblock
+    inf = jnp.float32(jnp.inf)
+
+    def init_b(rb, _):
+        r0 = rb * block
+        lbl_ref[pl.ds(r0, block), :] = lbl_in_ref[pl.ds(r0, block), :]
+        t_ref[pl.ds(r0, block), :] = t_in_ref[pl.ds(r0, block), :]
+        lam_rh[2 * rb + 1, :] = lam_ref[r0, :]
+        lam_rh[2 * rb + 2, :] = lam_ref[r0 + block - 1, :]
+        for cb in range(n_cb):
+            flags_ref[rb + 1, cb + 1] = jnp.int32(1)
+        return 0
+
+    jax.lax.fori_loop(0, n_rb, init_b, 0)
+    lam_rh[0, :] = jnp.full((W,), inf)
+    lam_rh[2 * n_rb + 1, :] = jnp.full((W,), inf)
+    lbl_rh[0, :] = jnp.zeros((W,), jnp.int32)
+    lbl_rh[2 * n_rb + 1, :] = jnp.zeros((W,), jnp.int32)
+    for cb in range(n_cb):
+        c0 = cb * cblock
+        # lam is read-only in the settle: column halos built once
+        lam_ch[:, 2 * cb + 1:2 * cb + 2] = lam_ref[:, c0:c0 + 1]
+        lam_ch[:, 2 * cb + 2:2 * cb + 3] = \
+            lam_ref[:, c0 + cblock - 1:c0 + cblock]
+    lam_ch[:, 0:1] = jnp.full((H, 1), inf)
+    lam_ch[:, 2 * n_cb + 1:2 * n_cb + 2] = jnp.full((H, 1), inf)
+    lbl_ch[:, 0:1] = jnp.zeros((H, 1), jnp.int32)
+    lbl_ch[:, 2 * n_cb + 1:2 * n_cb + 2] = jnp.zeros((H, 1), jnp.int32)
+
+    def zero_border(i, _):
+        for cb in range(n_cb + 2):
+            flags_ref[0, cb] = jnp.int32(0)
+            flags_ref[n_rb + 1, cb] = jnp.int32(0)
+        flags_ref[i, 0] = jnp.int32(0)
+        flags_ref[i, n_cb + 1] = jnp.int32(0)
+        return 0
+
+    jax.lax.fori_loop(0, n_rb + 2, zero_border, 0)
+
+    def batch_body(carry):
+        _, it0 = carry
+        # per-stripe active lists = 3x3 dilation of last batch's change flags
+        for cb in range(n_cb):
+            def scan_b(rb, cnt, cb=cb):
+                near = jnp.int32(0)
+                for dr in range(3):
+                    for dc in range(3):
+                        near = near + flags_ref[rb + dr, cb + dc]
+
+                def app(c):
+                    run_ref[cb, c] = rb
+                    return c + 1
+
+                return jax.lax.cond(near > 0, app, lambda c: c, cnt)
+
+            cnt_ref[cb] = jax.lax.fori_loop(0, n_rb, scan_b, jnp.int32(0))
+
+        def clear_b(rb, _):
+            for cb in range(n_cb):
+                flags_ref[rb + 1, cb + 1] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, n_rb, clear_b, 0)
+        for s in range(sweep_batch):
+            it = it0 + s
+            # ALL stripes snapshot, then all run: a run in stripe cb reads
+            # cb+1's column snapshot, which must be pre-THIS-sweep — the
+            # interleaved order (snap cb, run cb, snap cb+1, ...) would hand
+            # it cb+1's pre-PREVIOUS-sweep value (measured: 0.06% label
+            # divergence).
+            for cb in range(n_cb):
+                c0 = cb * cblock
+
+                def snap_i(i, _, cb=cb, c0=c0):
+                    rb = run_ref[cb, i]
+                    r0 = rb * block
+                    lbl_rh[2 * rb + 1, c0:c0 + cblock] = \
+                        lbl_ref[r0, c0:c0 + cblock]
+                    lbl_rh[2 * rb + 2, c0:c0 + cblock] = \
+                        lbl_ref[r0 + block - 1, c0:c0 + cblock]
+                    tile = lbl_ref[pl.ds(r0, block), c0:c0 + cblock]
+                    lbl_ch[pl.ds(r0, block), 2 * cb + 1:2 * cb + 2] = \
+                        tile[:, :1]
+                    lbl_ch[pl.ds(r0, block), 2 * cb + 2:2 * cb + 3] = \
+                        tile[:, cblock - 1:]
+                    return 0
+
+                jax.lax.fori_loop(0, cnt_ref[cb], snap_i, 0)
+            for cb in range(n_cb):
+                c0 = cb * cblock
+
+                def run_i(i, _, cb=cb, c0=c0, it=it):
+                    rb = run_ref[cb, i]
+                    r0 = rb * block
+                    lam = lam_ref[pl.ds(r0, block), c0:c0 + cblock]
+                    lbl = lbl_ref[pl.ds(r0, block), c0:c0 + cblock]
+                    up = (lam_rh[2 * rb, c0:c0 + cblock],
+                          lbl_rh[2 * rb, c0:c0 + cblock])
+                    dn = (lam_rh[2 * rb + 3, c0:c0 + cblock],
+                          lbl_rh[2 * rb + 3, c0:c0 + cblock])
+                    left = (lam_ch[pl.ds(r0, block), 2 * cb:2 * cb + 1],
+                            lbl_ch[pl.ds(r0, block), 2 * cb:2 * cb + 1])
+                    right = (lam_ch[pl.ds(r0, block), 2 * cb + 3:2 * cb + 4],
+                             lbl_ch[pl.ds(r0, block), 2 * cb + 3:2 * cb + 4])
+                    new_lbl, can = _settle_math(lam, lbl, up, dn, left, right)
+                    lbl_ref[pl.ds(r0, block), c0:c0 + cblock] = new_lbl
+                    t = t_ref[pl.ds(r0, block), c0:c0 + cblock]
+                    t_ref[pl.ds(r0, block), c0:c0 + cblock] = \
+                        jnp.where(can, it, t)
+                    flags_ref[rb + 1, cb + 1] = flags_ref[rb + 1, cb + 1] | \
+                        jnp.any(can).astype(jnp.int32)
+                    return 0
+
+                jax.lax.fori_loop(0, cnt_ref[cb], run_i, 0)
+
+        def or_b(rb, a):
+            for cb in range(n_cb):
+                a = a | flags_ref[rb + 1, cb + 1]
+            return a
+
+        changed = jax.lax.fori_loop(0, n_rb, or_b, jnp.int32(0))
+        return changed > 0, it0 + sweep_batch
+
+    jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), batch_body,
+                       (jnp.bool_(True), jnp.int32(it_start)))
+
+
+def _settle_tail2d_call(lam, lbl0, t0, block, cblock, sweep_batch, it_start):
+    H, W = lam.shape
+    n_rb = H // block
+    n_cb = W // cblock
+    return pl.pallas_call(
+        functools.partial(_settle_loop2d_kernel, block=block, cblock=cblock,
+                          sweep_batch=sweep_batch, it_start=it_start),
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
+                   jax.ShapeDtypeStruct((H, W), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_rb + 2, W), jnp.float32),
+            pltpu.VMEM((2 * n_rb + 2, W), jnp.int32),
+            pltpu.VMEM((H, 2 * n_cb + 2), jnp.float32),
+            pltpu.VMEM((H, 2 * n_cb + 2), jnp.int32),
+            pltpu.SMEM((n_rb + 2, n_cb + 2), jnp.int32),
+            pltpu.SMEM((n_cb, n_rb), jnp.int32),
+            pltpu.SMEM((n_cb,), jnp.int32),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(lam.astype(jnp.float32), lbl0, t0)
+
+
 def _settle_tail_call(lam, lbl0, t0, block, sweep_batch, it_start):
     H, W = lam.shape
     n_blocks = H // block
@@ -940,12 +1141,25 @@ def _settle_bulk_call(lam, lbl0, t0, block, n_sweeps):
     )(lam.astype(jnp.float32), lbl0, t0)
 
 
+# Column-tiled settle tail: available via cblock=..., but OFF by default.
+# Measured on v5e at 2048^2 (bulk=24): 1D row-gated tail 25.8 ms vs 2D tiles
+# 31.9-40.4 ms across (block, cblock, sweep_batch) in {16,32,64}x{256,512}x
+# {8,16} — the per-tile-visit overhead (fori dispatch + dynamic sublane
+# addressing at ~1024 tiles x ~150 sweeps) outweighs the extra skipping until
+# the tail is very sparse (at bulk=96 the 2D tail itself costs ~2 ms, but the
+# bulk prologue then dominates). Kept for wider-than-tall mosaics where row
+# gating degenerates; auto mode always picks 1D.
+_CBLOCK = 256
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("block", "sweep_batch", "bulk_sweeps"))
+                   static_argnames=("block", "sweep_batch", "bulk_sweeps",
+                                    "cblock"))
 def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
                        block: int = _SETTLE_BLOCK,
                        sweep_batch: int = _SETTLE_SWEEP_BATCH,
                        bulk_sweeps: int | None = None,
+                       cblock: int | None = None,
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Settle = static ungated BULK prologue + batch-gated loop TAIL.
 
@@ -955,9 +1169,17 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
     matter which kernel runs it and starting the tail all-active is exact
     (extra visits to converged blocks are no-ops), so the output — including
     arrival stamps — is bit-identical for ANY (block, sweep_batch <= block,
-    bulk_sweeps >= 0) setting."""
+    bulk_sweeps >= 0) setting.
+
+    ``cblock``: column-tile width for the 2D-gated tail
+    (``_settle_loop2d_kernel``). None/0 = 1D row-gated tail (measured faster
+    at square production shapes — see _CBLOCK note). Also
+    bit-identity-invariant."""
     H, W = lam.shape
     assert sweep_batch <= block and H % block == 0
+    if cblock is None:
+        cblock = 0
+    assert cblock == 0 or (W % cblock == 0 and sweep_batch <= cblock)
     big_t = jnp.int32(1 << 29)
     lbl0 = seeds.astype(jnp.int32)
     t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
@@ -968,6 +1190,9 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
         lbl0, t0 = _settle_bulk_call(lam, lbl0, t0, _bulk_block_for(H),
                                      bulk_sweeps)
         it_start = bulk_sweeps + 1
+    if cblock:
+        return _settle_tail2d_call(lam, lbl0, t0, block, cblock, sweep_batch,
+                                   it_start)
     return _settle_tail_call(lam, lbl0, t0, block, sweep_batch, it_start)
 
 
