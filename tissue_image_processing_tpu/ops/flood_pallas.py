@@ -700,12 +700,37 @@ def _cc_scan_call(conn: jnp.ndarray, lbl0: jnp.ndarray) -> jnp.ndarray:
     )(conn.astype(jnp.int32), lbl0.astype(jnp.int32))
 
 
-def _settle_math(lam, lbl, up, dn, left=None, right=None):
+def _settle_mask(lam: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the settle's lam comparisons as an int32 bitmask.
+
+    ``lam`` is READ-ONLY throughout the settle, and the sweeps consume it only
+    through 8 per-pixel predicates: for each 4-neighbor k, (qv_k < lam) and
+    (qv_k <= lam) with +inf outside the border. Baking those into bits 0-3
+    (strict) and 4-7 (non-strict) ONCE in XLA lets every settle kernel drop
+    lam entirely — no lam state ref, no lam halo arrays, and per block-visit
+    the 4 shifted-lam constructions + 8 float compares become 8 int bit
+    tests. Neighbor order matches ``_settle_math``: N, S, W, E."""
+    H, W = lam.shape
+    inf = jnp.float32(jnp.inf)
+    qs = [
+        jnp.concatenate([jnp.full((1, W), inf), lam[:-1]], axis=0),
+        jnp.concatenate([lam[1:], jnp.full((1, W), inf)], axis=0),
+        jnp.concatenate([jnp.full((H, 1), inf), lam[:, :-1]], axis=1),
+        jnp.concatenate([lam[:, 1:], jnp.full((H, 1), inf)], axis=1),
+    ]
+    m = jnp.zeros((H, W), jnp.int32)
+    for k, q in enumerate(qs):
+        m = m | ((q < lam).astype(jnp.int32) << k)
+        m = m | ((q <= lam).astype(jnp.int32) << (4 + k))
+    return m
+
+
+def _settle_math(mask, lbl, up, dn, left=None, right=None):
     """One Jacobi settle sweep over a (rows, cols) block — the pure math
     shared by the bulk (static) and tail (gated loop) settle kernels.
-    ``up``/``dn`` are (lam, lbl) halo rows; ``left``/``right`` are (lam, lbl)
-    halo columns as (rows, 1) arrays (None = image border: +inf/0). Returns
-    (new_lbl, can).
+    ``mask`` is the precomputed lam-comparison bitmask (``_settle_mask``);
+    ``up``/``dn`` are lbl halo rows; ``left``/``right`` are lbl halo columns
+    as (rows, 1) arrays (None = image border: 0). Returns (new_lbl, can).
 
     The donated label needs NO priority tie-break: it is only taken in the
     no-conflict branch, where by definition every donor carries the same
@@ -714,26 +739,27 @@ def _settle_math(lam, lbl, up, dn, left=None, right=None):
     reads them afterwards, neighbors never do), so the sweep carries no
     (best_v, best_t, best_l) chain and no t shifts/halos — ~30% of the
     original per-pixel op count, bit-identical output."""
-    block, W = lam.shape
-    inf = jnp.float32(jnp.inf)
-    lam_l, lbl_l = (inf, 0) if left is None else left
-    lam_r, lbl_r = (inf, 0) if right is None else right
+    block, W = lbl.shape
+    lbl_l = 0 if left is None else left
+    lbl_r = 0 if right is None else right
     settled = lbl != 0
-    nbrs = [
-        (_shift_rows(lam, True, up[0]), _shift_rows(lbl, True, up[1])),
-        (_shift_rows(lam, False, dn[0]), _shift_rows(lbl, False, dn[1])),
-        (_shift_cols(lam, True, lam_l), _shift_cols(lbl, True, lbl_l)),
-        (_shift_cols(lam, False, lam_r), _shift_cols(lbl, False, lbl_r)),
+    qls = [
+        _shift_rows(lbl, True, up),
+        _shift_rows(lbl, False, dn),
+        _shift_cols(lbl, True, lbl_l),
+        _shift_cols(lbl, False, lbl_r),
     ]
     ready = jnp.ones_like(settled)
     all_eq = jnp.ones_like(settled)
     minl = jnp.full((block, W), jnp.int32((1 << 30)), jnp.int32)
     maxl = jnp.zeros((block, W), jnp.int32)
-    for qv, ql in nbrs:
+    for k, ql in enumerate(qls):
         qsettled = ql != 0
-        ready = ready & ((~(qv < lam)) | qsettled)
-        all_eq = all_eq & ((~(qv <= lam)) | qsettled)
-        donor = (ql > 0) & (qv <= lam)
+        lt = (mask & (1 << k)) != 0        # qv_k < lam
+        le = (mask & (1 << (4 + k))) != 0  # qv_k <= lam
+        ready = ready & ((~lt) | qsettled)
+        all_eq = all_eq & ((~le) | qsettled)
+        donor = (ql > 0) & le
         minl = jnp.where(donor, jnp.minimum(minl, ql), minl)
         maxl = jnp.where(donor, jnp.maximum(maxl, ql), maxl)
     has_donor = maxl > 0
@@ -749,8 +775,8 @@ def _settle_math(lam, lbl, up, dn, left=None, right=None):
     return new_lbl, can
 
 
-def _settle_bulk_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
-                        lam_halo, lbl_halo, *, block, n_sweeps):
+def _settle_bulk_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
+                        lbl_halo, *, block, n_sweeps):
     """Ungated static prologue of the settle: exactly ``n_sweeps`` Jacobi
     sweeps with EVERY block updated, all block addresses static.
 
@@ -763,17 +789,12 @@ def _settle_bulk_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
     that blew up its program size. The gated loop kernel then finishes the
     tail from sweep ``n_sweeps + 1``; any prefix of Jacobi sweeps is the same
     regardless of who runs it, so the split output is bit-identical."""
-    H, W = lam_ref.shape
+    H, W = mask_ref.shape
     n_blocks = H // block
-    inf = jnp.float32(jnp.inf)
     for b in range(n_blocks):
         r0 = b * block
         lbl_ref[pl.ds(r0, block), :] = lbl_in_ref[pl.ds(r0, block), :]
         t_ref[pl.ds(r0, block), :] = t_in_ref[pl.ds(r0, block), :]
-        lam_halo[2 * b + 1, :] = lam_ref[r0, :]
-        lam_halo[2 * b + 2, :] = lam_ref[r0 + block - 1, :]
-    lam_halo[0, :] = jnp.full((W,), inf)
-    lam_halo[2 * n_blocks + 1, :] = jnp.full((W,), inf)
     lbl_halo[0, :] = jnp.zeros((W,), jnp.int32)
     lbl_halo[2 * n_blocks + 1, :] = jnp.zeros((W,), jnp.int32)
 
@@ -784,11 +805,10 @@ def _settle_bulk_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
             lbl_halo[2 * b + 2, :] = lbl_ref[r0 + block - 1, :]
         for b in range(n_blocks):
             r0 = b * block
-            lam = lam_ref[pl.ds(r0, block), :]
+            mask = mask_ref[pl.ds(r0, block), :]
             lbl = lbl_ref[pl.ds(r0, block), :]
-            up = (lam_halo[2 * b, :], lbl_halo[2 * b, :])
-            dn = (lam_halo[2 * b + 3, :], lbl_halo[2 * b + 3, :])
-            new_lbl, can = _settle_math(lam, lbl, up, dn)
+            new_lbl, can = _settle_math(mask, lbl, lbl_halo[2 * b, :],
+                                        lbl_halo[2 * b + 3, :])
             lbl_ref[pl.ds(r0, block), :] = new_lbl
             t = t_ref[pl.ds(r0, block), :]
             t_ref[pl.ds(r0, block), :] = jnp.where(can, it, t)
@@ -797,8 +817,8 @@ def _settle_bulk_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
     jax.lax.fori_loop(1, n_sweeps + 1, sweep, 0)
 
 
-def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
-                        lam_halo, lbl_halo, flags_ref, run_ref,
+def _settle_loop_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
+                        lbl_halo, flags_ref, run_ref,
                         cnt_ref, *, block=_SETTLE_BLOCK, sweep_batch=None,
                         it_start=1):
     """Dynamic-block-index variant of ``_settle_kernel``: the same math, but
@@ -810,29 +830,24 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
     flag check per sweep).
 
     Index scheme (avoids b==0 / b==n-1 Python specializations):
-    - halo row arrays are (2n+2, W) with sentinel rows [0] and [2n+1]
-      (lam=+inf, lbl=0); block b's rows live at [2b+1], [2b+2], so its
-      up/dn halos are [2b] / [2b+3] unconditionally.
+    - the lbl halo row array is (2n+2, W) with zero sentinel rows [0] and
+      [2n+1]; block b's rows live at [2b+1], [2b+2], so its up/dn halos are
+      [2b] / [2b+3] unconditionally.
     - flags are (n+2,) with zero sentinels; block b's flag at [b+1].
     """
     if sweep_batch is None:
         sweep_batch = _SETTLE_SWEEP_BATCH
-    H, W = lam_ref.shape
+    H, W = mask_ref.shape
     n_blocks = H // block
-    inf = jnp.float32(jnp.inf)
 
     def init_b(b, _):
         r0 = b * block
         lbl_ref[pl.ds(r0, block), :] = lbl_in_ref[pl.ds(r0, block), :]
         t_ref[pl.ds(r0, block), :] = t_in_ref[pl.ds(r0, block), :]
-        lam_halo[2 * b + 1, :] = lam_ref[r0, :]
-        lam_halo[2 * b + 2, :] = lam_ref[r0 + block - 1, :]
         flags_ref[b + 1] = jnp.int32(1)
         return 0
 
     jax.lax.fori_loop(0, n_blocks, init_b, 0)
-    lam_halo[0, :] = jnp.full((W,), inf)
-    lam_halo[2 * n_blocks + 1, :] = jnp.full((W,), inf)
     lbl_halo[0, :] = jnp.zeros((W,), jnp.int32)
     lbl_halo[2 * n_blocks + 1, :] = jnp.zeros((W,), jnp.int32)
     flags_ref[0] = jnp.int32(0)
@@ -840,11 +855,10 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
 
     def _block_body(b, it):
         r0 = b * block
-        lam = lam_ref[pl.ds(r0, block), :]
+        mask = mask_ref[pl.ds(r0, block), :]
         lbl = lbl_ref[pl.ds(r0, block), :]
-        up = (lam_halo[2 * b, :], lbl_halo[2 * b, :])
-        dn = (lam_halo[2 * b + 3, :], lbl_halo[2 * b + 3, :])
-        new_lbl, can = _settle_math(lam, lbl, up, dn)
+        new_lbl, can = _settle_math(mask, lbl, lbl_halo[2 * b, :],
+                                    lbl_halo[2 * b + 3, :])
         lbl_ref[pl.ds(r0, block), :] = new_lbl
         t = t_ref[pl.ds(r0, block), :]
         t_ref[pl.ds(r0, block), :] = jnp.where(can, it, t)
@@ -899,8 +913,8 @@ def _settle_loop_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                        (jnp.bool_(True), jnp.int32(it_start)))
 
 
-def _settle_loop2d_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
-                          lam_rh, lbl_rh, lam_ch, lbl_ch, flags_ref,
+def _settle_loop2d_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
+                          lbl_rh, lbl_ch, flags_ref,
                           run_ref, cnt_ref, *, block, cblock, sweep_batch,
                           it_start):
     """2D-tiled twin of ``_settle_loop_kernel``: gating at (block x cblock)
@@ -920,11 +934,10 @@ def _settle_loop2d_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
     active list, so program size stays O(n_cb), not O(n_blocks).
 
     Halos: rows as in the 1D kernel (full-width arrays, active tiles
-    snapshot their stripe's segment). Columns via (H, 2*n_cb+2) arrays with
-    halo columns at static lane indices — lam's are built once (read-only in
-    the settle), lbl's are snapshotted per sweep by the owning tile. A quiet
-    tile's snapshot is stale-but-equal: a tile only changes when it runs, and
-    every run re-snapshots first.
+    snapshot their stripe's segment). Columns via an (H, 2*n_cb+2) array with
+    halo columns at static lane indices, snapshotted per sweep by the owning
+    tile. A quiet tile's snapshot is stale-but-equal: a tile only changes
+    when it runs, and every run re-snapshots first.
 
     Gating exactness in 2D needs the run set to be the 3x3 (NOT just +row)
     dilation of last batch's changed tiles: within a batch, influence from a
@@ -937,34 +950,21 @@ def _settle_loop2d_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
     rows/columns, then all stripes run — so every halo read is the pre-sweep
     value regardless of stripe order. Output (labels AND stamps) is
     bit-identical to the 1D kernels (asserted in tests)."""
-    H, W = lam_ref.shape
+    H, W = mask_ref.shape
     n_rb = H // block
     n_cb = W // cblock
-    inf = jnp.float32(jnp.inf)
 
     def init_b(rb, _):
         r0 = rb * block
         lbl_ref[pl.ds(r0, block), :] = lbl_in_ref[pl.ds(r0, block), :]
         t_ref[pl.ds(r0, block), :] = t_in_ref[pl.ds(r0, block), :]
-        lam_rh[2 * rb + 1, :] = lam_ref[r0, :]
-        lam_rh[2 * rb + 2, :] = lam_ref[r0 + block - 1, :]
         for cb in range(n_cb):
             flags_ref[rb + 1, cb + 1] = jnp.int32(1)
         return 0
 
     jax.lax.fori_loop(0, n_rb, init_b, 0)
-    lam_rh[0, :] = jnp.full((W,), inf)
-    lam_rh[2 * n_rb + 1, :] = jnp.full((W,), inf)
     lbl_rh[0, :] = jnp.zeros((W,), jnp.int32)
     lbl_rh[2 * n_rb + 1, :] = jnp.zeros((W,), jnp.int32)
-    for cb in range(n_cb):
-        c0 = cb * cblock
-        # lam is read-only in the settle: column halos built once
-        lam_ch[:, 2 * cb + 1:2 * cb + 2] = lam_ref[:, c0:c0 + 1]
-        lam_ch[:, 2 * cb + 2:2 * cb + 3] = \
-            lam_ref[:, c0 + cblock - 1:c0 + cblock]
-    lam_ch[:, 0:1] = jnp.full((H, 1), inf)
-    lam_ch[:, 2 * n_cb + 1:2 * n_cb + 2] = jnp.full((H, 1), inf)
     lbl_ch[:, 0:1] = jnp.zeros((H, 1), jnp.int32)
     lbl_ch[:, 2 * n_cb + 1:2 * n_cb + 2] = jnp.zeros((H, 1), jnp.int32)
 
@@ -1033,17 +1033,14 @@ def _settle_loop2d_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                 def run_i(i, _, cb=cb, c0=c0, it=it):
                     rb = run_ref[cb, i]
                     r0 = rb * block
-                    lam = lam_ref[pl.ds(r0, block), c0:c0 + cblock]
+                    mask = mask_ref[pl.ds(r0, block), c0:c0 + cblock]
                     lbl = lbl_ref[pl.ds(r0, block), c0:c0 + cblock]
-                    up = (lam_rh[2 * rb, c0:c0 + cblock],
-                          lbl_rh[2 * rb, c0:c0 + cblock])
-                    dn = (lam_rh[2 * rb + 3, c0:c0 + cblock],
-                          lbl_rh[2 * rb + 3, c0:c0 + cblock])
-                    left = (lam_ch[pl.ds(r0, block), 2 * cb:2 * cb + 1],
-                            lbl_ch[pl.ds(r0, block), 2 * cb:2 * cb + 1])
-                    right = (lam_ch[pl.ds(r0, block), 2 * cb + 3:2 * cb + 4],
-                             lbl_ch[pl.ds(r0, block), 2 * cb + 3:2 * cb + 4])
-                    new_lbl, can = _settle_math(lam, lbl, up, dn, left, right)
+                    up = lbl_rh[2 * rb, c0:c0 + cblock]
+                    dn = lbl_rh[2 * rb + 3, c0:c0 + cblock]
+                    left = lbl_ch[pl.ds(r0, block), 2 * cb:2 * cb + 1]
+                    right = lbl_ch[pl.ds(r0, block), 2 * cb + 3:2 * cb + 4]
+                    new_lbl, can = _settle_math(mask, lbl, up, dn, left,
+                                                right)
                     lbl_ref[pl.ds(r0, block), c0:c0 + cblock] = new_lbl
                     t = t_ref[pl.ds(r0, block), c0:c0 + cblock]
                     t_ref[pl.ds(r0, block), c0:c0 + cblock] = \
@@ -1066,8 +1063,8 @@ def _settle_loop2d_kernel(lam_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                        (jnp.bool_(True), jnp.int32(it_start)))
 
 
-def _settle_tail2d_call(lam, lbl0, t0, block, cblock, sweep_batch, it_start):
-    H, W = lam.shape
+def _settle_tail2d_call(mask, lbl0, t0, block, cblock, sweep_batch, it_start):
+    H, W = mask.shape
     n_rb = H // block
     n_cb = W // cblock
     return pl.pallas_call(
@@ -1081,9 +1078,7 @@ def _settle_tail2d_call(lam, lbl0, t0, block, cblock, sweep_batch, it_start):
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2 * n_rb + 2, W), jnp.float32),
             pltpu.VMEM((2 * n_rb + 2, W), jnp.int32),
-            pltpu.VMEM((H, 2 * n_cb + 2), jnp.float32),
             pltpu.VMEM((H, 2 * n_cb + 2), jnp.int32),
             pltpu.SMEM((n_rb + 2, n_cb + 2), jnp.int32),
             pltpu.SMEM((n_cb, n_rb), jnp.int32),
@@ -1091,11 +1086,11 @@ def _settle_tail2d_call(lam, lbl0, t0, block, cblock, sweep_batch, it_start):
         ],
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(lam.astype(jnp.float32), lbl0, t0)
+    )(mask, lbl0, t0)
 
 
-def _settle_tail_call(lam, lbl0, t0, block, sweep_batch, it_start):
-    H, W = lam.shape
+def _settle_tail_call(mask, lbl0, t0, block, sweep_batch, it_start):
+    H, W = mask.shape
     n_blocks = H // block
     return pl.pallas_call(
         functools.partial(_settle_loop_kernel, block=block,
@@ -1108,7 +1103,6 @@ def _settle_tail_call(lam, lbl0, t0, block, sweep_batch, it_start):
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2 * n_blocks + 2, W), jnp.float32),
             pltpu.VMEM((2 * n_blocks + 2, W), jnp.int32),
             pltpu.SMEM((n_blocks + 2,), jnp.int32),
             pltpu.SMEM((n_blocks,), jnp.int32),
@@ -1116,11 +1110,11 @@ def _settle_tail_call(lam, lbl0, t0, block, sweep_batch, it_start):
         ],
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(lam.astype(jnp.float32), lbl0, t0)
+    )(mask, lbl0, t0)
 
 
-def _settle_bulk_call(lam, lbl0, t0, block, n_sweeps):
-    H, W = lam.shape
+def _settle_bulk_call(mask, lbl0, t0, block, n_sweeps):
+    H, W = mask.shape
     n_blocks = H // block
     return pl.pallas_call(
         functools.partial(_settle_bulk_kernel, block=block,
@@ -1133,12 +1127,11 @@ def _settle_bulk_call(lam, lbl0, t0, block, n_sweeps):
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2 * n_blocks + 2, W), jnp.float32),
             pltpu.VMEM((2 * n_blocks + 2, W), jnp.int32),
         ],
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(lam.astype(jnp.float32), lbl0, t0)
+    )(mask, lbl0, t0)
 
 
 # Column-tiled settle tail: available via cblock=..., but OFF by default.
@@ -1183,17 +1176,18 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
     big_t = jnp.int32(1 << 29)
     lbl0 = seeds.astype(jnp.int32)
     t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
+    mask = _settle_mask(lam.astype(jnp.float32))
     if bulk_sweeps is None:
         bulk_sweeps = _BULK_SWEEPS
     it_start = 1
     if bulk_sweeps > 0:
-        lbl0, t0 = _settle_bulk_call(lam, lbl0, t0, _bulk_block_for(H),
+        lbl0, t0 = _settle_bulk_call(mask, lbl0, t0, _bulk_block_for(H),
                                      bulk_sweeps)
         it_start = bulk_sweeps + 1
     if cblock:
-        return _settle_tail2d_call(lam, lbl0, t0, block, cblock, sweep_batch,
+        return _settle_tail2d_call(mask, lbl0, t0, block, cblock, sweep_batch,
                                    it_start)
-    return _settle_tail_call(lam, lbl0, t0, block, sweep_batch, it_start)
+    return _settle_tail_call(mask, lbl0, t0, block, sweep_batch, it_start)
 
 
 settle_pallas = settle_pallas_loop
