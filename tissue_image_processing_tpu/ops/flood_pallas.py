@@ -84,6 +84,12 @@ _UNROLL_MAX_BLOCKS = 16
 # tail — in the bulk phase everything IS active, so gating machinery is pure
 # overhead (the settle's p50 arrival stamp at 1024^2 is 24). 0 disables.
 _BULK_SWEEPS = 24
+# At 2048^2-class areas the gated tail's per-block dispatch costs MORE than
+# ungated sweeps deep into the mid-phase (arrival p90 = 50, p99 = 82 on
+# production-density content): measured settle 23.0/21.2/20.0 ms at bulk
+# 24/48/96. Larger frames therefore run a longer prologue.
+_BULK_SWEEPS_BIG = 96
+_BIG_AREA = 3_000_000
 # Bulk kernels unroll blocks statically; aim for ~16 blocks at any H (bigger
 # blocks = fewer halo copies, and gating granularity is irrelevant here).
 _BULK_BLOCK_TARGET = 16
@@ -1178,7 +1184,7 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
     t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
     mask = _settle_mask(lam.astype(jnp.float32))
     if bulk_sweeps is None:
-        bulk_sweeps = _BULK_SWEEPS
+        bulk_sweeps = _BULK_SWEEPS_BIG if H * W >= _BIG_AREA else _BULK_SWEEPS
     it_start = 1
     if bulk_sweeps > 0:
         lbl0, t0 = _settle_bulk_call(mask, lbl0, t0, _bulk_block_for(H),

@@ -85,10 +85,15 @@ def regional_minima_labels(image: jnp.ndarray,
     """
     img = image.astype(jnp.float32)
     inf = jnp.float32(jnp.inf)
-    min8 = None
-    for dy, dx in _NBRS8:
-        v = _nbr_val(img, dy, dx, inf)
-        min8 = v if min8 is None else jnp.minimum(min8, v)
+    # separable 8-neighbor min: row-min3, then rows above/below contribute
+    # their row-min while the centre row contributes only left/right — 7
+    # shifted arrays instead of 8, and the row-min reuse lets XLA fuse the
+    # whole thing in ~half the passes of the naive 8-shift form
+    rm = jnp.minimum(jnp.minimum(_nbr_val(img, 0, -1, inf), img),
+                     _nbr_val(img, 0, 1, inf))
+    min8 = jnp.minimum(
+        jnp.minimum(_nbr_val(rm, -1, 0, inf), _nbr_val(rm, 1, 0, inf)),
+        jnp.minimum(_nbr_val(img, 0, -1, inf), _nbr_val(img, 0, 1, inf)))
     # non-finite pixels (pad bands, stacked-frame separators) can never be
     # minima; excluding them HERE keeps them out of the CC diffusion entirely —
     # an all-inf band is otherwise one giant plateau needing ~W sweeps to settle
@@ -113,7 +118,13 @@ def regional_minima_labels(image: jnp.ndarray,
         n = H * W
         idx2 = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
         init = jnp.where(bad & candidate, idx2 - n, idx2)
-        comp = cc_diffusion_pallas(candidate, init=init, scan=scan)
+        # minima plateaus of a blurred float image are a few px across, so the
+        # diffusions converge in ~1-2 gated batches — the default 24-sweep
+        # all-active bulk prologue is mostly no-op sweeps at 2048^2-class
+        # sizes (~0.1 ms each). The fixpoint is prologue-invariant.
+        cc_bulk = 8
+        comp = cc_diffusion_pallas(candidate, init=init, scan=scan,
+                                   bulk_sweeps=cc_bulk)
         # dense raster-order 1..N labels via a SECOND diffusion: roots
         # (self-pointing pixels of clean components) seed their prefix-count
         # rank and the component min propagates it — a 1M random gather
@@ -121,9 +132,15 @@ def regional_minima_labels(image: jnp.ndarray,
         # costs ~0.2 ms
         ok = comp >= 0
         is_root = ok & (comp == idx2)
-        rank = jnp.cumsum(is_root.ravel().astype(jnp.int32)).reshape(H, W)
+        # raster-order rank of each root: two-level cumsum (within-row, then
+        # across row totals) — measured 0.57 ms vs 1.34 ms for the flat 4M
+        # cumsum at 2048^2
+        row = jnp.cumsum(is_root.astype(jnp.int32), axis=1)
+        rowtot = jnp.cumsum(row[:, -1])
+        rank = row + (rowtot - row[:, -1])[:, None]
         init2 = jnp.where(is_root, rank, jnp.int32(n))
-        seeds = cc_diffusion_pallas(ok, init=init2, scan=scan)
+        seeds = cc_diffusion_pallas(ok, init=init2, scan=scan,
+                                    bulk_sweeps=cc_bulk)
         return jnp.where(seeds > 0, seeds, 0).astype(jnp.int32)
     # dense 1..N in raster order; shift to root-style [0, N) with -1 background
     comp_flat = connected_components(candidate, connectivity=1).ravel() - 1
