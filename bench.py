@@ -395,13 +395,25 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
             stats = {"mean_area": (areas * masks).sum(1) / jnp.maximum(n_valid, 1),
                      "density": n_valid / float(H * W),
                      "mean_neighbors": (nn * masks).sum(1) / jnp.maximum(n_valid, 1)}
-            return ids, cys, cxs, areas, stats
+            # ONE packed device->host transfer: each tunnel host read costs
+            # ~27 ms and serializes, so reading 7 arrays separately would add
+            # ~190 ms of pure transport to the wall time. ids <= 2*cap << 2^24
+            # are exact in f32.
+            packed = jnp.concatenate(
+                [ids.astype(jnp.float32), cys, cxs, areas]
+                + [v[:, None] for v in stats.values()], axis=1)
+            return packed
 
         import tempfile
 
         def cfg5():
-            out = cfg5_program(movie_dev, variables)
-            ids5, cy5, cx5, ar5, st5 = jax.tree_util.tree_map(np.asarray, out)
+            packed = np.asarray(cfg5_program(movie_dev, variables))
+            ids5 = packed[:, :cap].astype(np.int32)
+            cy5, cx5, ar5 = (packed[:, (i + 1) * cap:(i + 2) * cap]
+                             for i in range(3))
+            st5 = {k: packed[:, 4 * cap + i]
+                   for i, k in enumerate(("mean_area", "density",
+                                          "mean_neighbors"))}
             with tempfile.NamedTemporaryFile(suffix=".npz", delete=True) as f:
                 np.savez(f, ids=ids5, cy=cy5, cx=cx5, area=ar5, **st5)
             return ids5

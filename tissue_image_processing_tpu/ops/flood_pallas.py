@@ -84,12 +84,11 @@ _UNROLL_MAX_BLOCKS = 16
 # tail — in the bulk phase everything IS active, so gating machinery is pure
 # overhead (the settle's p50 arrival stamp at 1024^2 is 24). 0 disables.
 _BULK_SWEEPS = 24
-# At 2048^2-class areas the gated tail's per-block dispatch costs MORE than
-# ungated sweeps deep into the mid-phase (arrival p90 = 50, p99 = 82 on
-# production-density content): measured settle 23.0/21.2/20.0 ms at bulk
-# 24/48/96. Larger frames therefore run a longer prologue.
-_BULK_SWEEPS_BIG = 96
-_BIG_AREA = 3_000_000
+# History: before the tail's last-sweep-only flags, the gated tail's
+# per-visit any() reductions made ungated bulk sweeps cheaper deep into the
+# mid-phase at 2048^2 (settle 23.0/21.2/20.0 ms at bulk 24/48/96); with them
+# the tail is the cheaper executor again at every size (18.9/19.1/19.1), so
+# one small prologue fits all.
 # Bulk kernels unroll blocks statically; aim for ~16 blocks at any H (bigger
 # blocks = fewer halo copies, and gating granularity is irrelevant here).
 _BULK_BLOCK_TARGET = 16
@@ -859,7 +858,7 @@ def _settle_loop_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
     flags_ref[0] = jnp.int32(0)
     flags_ref[n_blocks + 1] = jnp.int32(0)
 
-    def _block_body(b, it):
+    def _block_body(b, it, last):
         r0 = b * block
         mask = mask_ref[pl.ds(r0, block), :]
         lbl = lbl_ref[pl.ds(r0, block), :]
@@ -868,7 +867,15 @@ def _settle_loop_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
         lbl_ref[pl.ds(r0, block), :] = new_lbl
         t = t_ref[pl.ds(r0, block), :]
         t_ref[pl.ds(r0, block), :] = jnp.where(can, it, t)
-        flags_ref[b + 1] = flags_ref[b + 1] | jnp.any(can).astype(jnp.int32)
+        # flag only on the batch's LAST sweep (same argument as the diffusion
+        # kernels): settling is monotone and halos are snapshotted per sweep,
+        # so a block whose last sweep settled nothing is at a local fixpoint —
+        # mid-batch changes already propagated to row-neighbors within the
+        # batch, and a last-sweep change re-runs the neighbors via the
+        # dilation in scan_b. Saves an any() reduction per visit on 7/8 of
+        # sweeps.
+        if last:
+            flags_ref[b + 1] = jnp.any(can).astype(jnp.int32)
 
     def batch_body(carry):
         _, it0 = carry
@@ -902,8 +909,8 @@ def _settle_loop_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
 
             jax.lax.fori_loop(0, cnt, halo_i, 0)
 
-            def run_i(i, _):
-                _block_body(run_ref[i], it)
+            def run_i(i, _, last=s == sweep_batch - 1):
+                _block_body(run_ref[i], it, last)
                 return 0
 
             jax.lax.fori_loop(0, cnt, run_i, 0)
@@ -1036,7 +1043,8 @@ def _settle_loop2d_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
             for cb in range(n_cb):
                 c0 = cb * cblock
 
-                def run_i(i, _, cb=cb, c0=c0, it=it):
+                def run_i(i, _, cb=cb, c0=c0, it=it,
+                          last=s == sweep_batch - 1):
                     rb = run_ref[cb, i]
                     r0 = rb * block
                     mask = mask_ref[pl.ds(r0, block), c0:c0 + cblock]
@@ -1051,8 +1059,11 @@ def _settle_loop2d_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                     t = t_ref[pl.ds(r0, block), c0:c0 + cblock]
                     t_ref[pl.ds(r0, block), c0:c0 + cblock] = \
                         jnp.where(can, it, t)
-                    flags_ref[rb + 1, cb + 1] = flags_ref[rb + 1, cb + 1] | \
-                        jnp.any(can).astype(jnp.int32)
+                    # last-sweep-only flags: see _block_body in the 1D kernel
+                    # (the 3x3 dilation covers last-sweep changes)
+                    if last:
+                        flags_ref[rb + 1, cb + 1] = \
+                            jnp.any(can).astype(jnp.int32)
                     return 0
 
                 jax.lax.fori_loop(0, cnt_ref[cb], run_i, 0)
@@ -1184,7 +1195,7 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
     t0 = jnp.where(seeds > 0, 0, big_t).astype(jnp.int32)
     mask = _settle_mask(lam.astype(jnp.float32))
     if bulk_sweeps is None:
-        bulk_sweeps = _BULK_SWEEPS_BIG if H * W >= _BIG_AREA else _BULK_SWEEPS
+        bulk_sweeps = _BULK_SWEEPS
     it_start = 1
     if bulk_sweeps > 0:
         lbl0, t0 = _settle_bulk_call(mask, lbl0, t0, _bulk_block_for(H),
