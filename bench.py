@@ -94,6 +94,9 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true", help="256^2 x 8 smoke run")
     p.add_argument("--headline-only", action="store_true",
                    help="skip the per-config BASELINE.json suite")
+    p.add_argument("--only", type=str, default=None,
+                   help="run only config names containing this substring "
+                        "(accuracy checks skipped)")
     p.add_argument("--config-budget", type=float, default=1500.0,
                    help="wall-clock seconds for the config suite; remaining "
                         "configs are skipped once exceeded (each compile via "
@@ -444,6 +447,8 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                      ("4_track100_fps", run_cfg4),
                      ("5_full_movie_fps", run_cfg5),
                      ("6_watershed_2048", run_cfg6)]:
+        if args.only and args.only not in name:
+            continue
         if over_budget(name):
             continue
         print(f"# config {name} ...", file=sys.stderr)
@@ -455,6 +460,8 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
             configs[name] = f"error: {type(e).__name__}"
 
     # --- accuracy: Dice vs the native Meyer flood oracle at bench size
+    if args.only:
+        return {"configs": configs}
     print("# accuracy: Dice vs native oracle ...", file=sys.stderr)
     dice = None
     try:

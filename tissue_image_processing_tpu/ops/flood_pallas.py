@@ -37,13 +37,18 @@ VMEM budget: lam(f32) + lbl(i32) + t(i32) state refs = 12 B/px (48 MB at the
 2048^2 cap), plus (block, W) working sets. Unaligned or larger images pad-and-crop
 or fall back to the XLA path (ops/watershed.py).
 
-Performance structure (measured at 1024^2 on v5e): the settle's arrival stamps
-show max 173 sweeps with p50 = 24 — the cost is the BULK phase (every block
-active for the first ~3 batches), not a long tail, so per-block-sweep overhead
-(halo row copies, loop control, the any() reduction) matters as much as the
-vector work. Other wins that got here: sweep batching (8 per while iteration,
-convergence checked on the last sweep only), and rank-by-diffusion relabeling
-(ops/watershed.py) instead of 1M-element gathers.
+Performance structure (measured at 1024^2/2048^2 on v5e): the settle's arrival
+stamps show max ~160-175 sweeps with p50 = 24, p90 = 50 — most sweeps happen
+in a mid-phase where many blocks are still active, so per-block-sweep overhead
+(halo row copies, loop control, reductions) matters as much as the vector
+work. The wins that got the settle to 18.9 ms at 2048^2 (from ~32 ms):
+sweep batching (8 per while iteration), the precomputed lam-comparison
+bitmask (_settle_mask: kernels carry no lam state, no lam halos, bit tests
+instead of f32 compares), last-sweep-only convergence flags in the gated
+tails, and rank-by-diffusion relabeling (ops/watershed.py) instead of
+1M-element gathers. Sub-32-bit state (i16 labels/stamps, i8 masks) would
+roughly double VPU throughput but does not compile through the current
+remote Mosaic toolchain (probed 2026-08; revisit).
 """
 
 from __future__ import annotations
