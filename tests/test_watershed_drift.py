@@ -385,6 +385,38 @@ def test_settle_bulk_prologue_bit_identical():
         FP.pl.pallas_call = orig_call
 
 
+def test_settle_packed_matches_unpacked():
+    """The packed single-word settle (dense_labels=True: (t << 21) | (lbl+2)
+    in one i32 plane) equals the unpacked two-plane settle bit-for-bit —
+    labels AND arrival stamps — for any bulk_sweeps, including past full
+    convergence."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    from tissue_image_processing_tpu.ops.watershed import regional_minima_labels
+
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    img = make_cell_image(128, 256, n_seeds=25, seed=13)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    b = jnp.asarray(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
+    FP.pl.pallas_call = interp_call
+    try:
+        seeds = regional_minima_labels(b, use_pallas=True)
+        lam = FP.bf_flood_pallas.__wrapped__(b, seeds)
+        l1, t1 = FP.settle_pallas.__wrapped__(lam, seeds, dense_labels=False)
+        for bulk in (0, 8, 24, 150):
+            l2, t2 = FP.settle_pallas.__wrapped__(lam, seeds,
+                                                  dense_labels=True,
+                                                  bulk_sweeps=bulk)
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+            np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    finally:
+        FP.pl.pallas_call = orig_call
+
+
 def test_settle_2d_tiled_matches_1d():
     """The 2D tile-gated settle tail (column stripes + 3x3 flag dilation)
     equals the 1D row-gated tail bit-for-bit — labels AND arrival stamps —

@@ -785,6 +785,98 @@ def _settle_math(mask, lbl, up, dn, left=None, right=None):
     return new_lbl, can
 
 
+# --- packed settle state: ONE int32 word per pixel, (t << 21) | (lbl + 2) ---
+#
+# The sweeps read/write lbl and t together (t is stamped exactly when lbl
+# settles), so carrying them as separate i32 planes pays 2 VMEM loads + 2
+# stores per block-visit where one word pays 1 + 1: per-pixel sweep traffic
+# drops from 20 B (mask 4 + lbl r/w 8 + t r/w 8) to 12 B. Encoding: the low
+# 21 bits hold enc = lbl + 2 (kernel lbl domain {-2,-1,0,1..N} -> {0,1,2,3..}),
+# the high 10 bits hold the arrival stamp, with t = _PACK_T_BIG the
+# "never settled" sentinel (bit 31 stays 0, so i32 compares/shifts are safe).
+# enc order == label order (constant bias), so the donor min/max/conflict
+# logic runs directly on enc values. Applicability: labels must fit 21 bits —
+# guaranteed STATICALLY when seeds come from regional_minima_labels (dense
+# raster ranks <= H*W/4 + 1 <= 1.12M < 2^21-3 at every pallas-supported
+# shape); watershed() passes dense_labels=False for user-supplied markers.
+# Stamps must fit 10 bits: the packed tail stops at sweep 1022 and reports
+# convergence; the (pathological: needs a ~H+W-long monotone chain, never hit
+# by real tissue frames) unconverged case falls back to the unpacked settle
+# via lax.cond, so the output is bit-identical to the unpacked kernels for
+# EVERY input.
+_PACK_SHIFT = 21
+_PACK_ENC_MASK = (1 << _PACK_SHIFT) - 1
+_PACK_T_BIG = (1 << (31 - _PACK_SHIFT)) - 1  # 1023 = never-settled sentinel
+
+
+def _settle_math_packed(mask, w, it, up, dn):
+    """Packed-word twin of ``_settle_math`` (full-width blocks only): same
+    predicates on enc = w & mask21, update stamps the sweep index into the
+    high bits of the settled word. Returns (new_w, can)."""
+    block, W = w.shape
+    enc = w & _PACK_ENC_MASK
+    settled = enc != 2
+    qws = [
+        _shift_rows(w, True, up),
+        _shift_rows(w, False, dn),
+        _shift_cols(w, True, 2),
+        _shift_cols(w, False, 2),
+    ]
+    ready = jnp.ones_like(settled)
+    all_eq = jnp.ones_like(settled)
+    minl = jnp.full((block, W), jnp.int32((1 << 30)), jnp.int32)
+    maxl = jnp.zeros((block, W), jnp.int32)
+    for k, qw in enumerate(qws):
+        qenc = qw & _PACK_ENC_MASK
+        qsettled = qenc != 2
+        lt = (mask & (1 << k)) != 0        # qv_k < lam
+        le = (mask & (1 << (4 + k))) != 0  # qv_k <= lam
+        ready = ready & ((~lt) | qsettled)
+        all_eq = all_eq & ((~le) | qsettled)
+        donor = (qenc > 2) & le
+        minl = jnp.where(donor, jnp.minimum(minl, qenc), minl)
+        maxl = jnp.where(donor, jnp.maximum(maxl, qenc), maxl)
+    has_donor = maxl > 0
+    conflict = has_donor & (minl != maxl)
+    unsettled = ~settled
+    settle_lbl = unsettled & ready & has_donor & (~conflict)
+    settle_line = unsettled & ready & conflict
+    settle_void = unsettled & ready & (~has_donor) & all_eq
+    can = settle_lbl | settle_line | settle_void
+    new_enc = jnp.where(settle_lbl, maxl,
+                        jnp.where(settle_line, 1, 0))
+    new_w = jnp.where(can, (it << _PACK_SHIFT) | new_enc, w)
+    return new_w, can
+
+
+def _settle_bulk_kernel_packed(mask_ref, w_in_ref, w_ref, w_halo, *, block,
+                               n_sweeps):
+    """Packed-word twin of ``_settle_bulk_kernel`` (one state plane)."""
+    H, W = mask_ref.shape
+    n_blocks = H // block
+    for b in range(n_blocks):
+        r0 = b * block
+        w_ref[pl.ds(r0, block), :] = w_in_ref[pl.ds(r0, block), :]
+    w_halo[0, :] = jnp.full((W,), 2, jnp.int32)
+    w_halo[2 * n_blocks + 1, :] = jnp.full((W,), 2, jnp.int32)
+
+    def sweep(it, _):
+        for b in range(n_blocks):
+            r0 = b * block
+            w_halo[2 * b + 1, :] = w_ref[r0, :]
+            w_halo[2 * b + 2, :] = w_ref[r0 + block - 1, :]
+        for b in range(n_blocks):
+            r0 = b * block
+            mask = mask_ref[pl.ds(r0, block), :]
+            w = w_ref[pl.ds(r0, block), :]
+            new_w, _ = _settle_math_packed(mask, w, it, w_halo[2 * b, :],
+                                           w_halo[2 * b + 3, :])
+            w_ref[pl.ds(r0, block), :] = new_w
+        return 0
+
+    jax.lax.fori_loop(1, n_sweeps + 1, sweep, 0)
+
+
 def _settle_bulk_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
                         lbl_halo, *, block, n_sweeps):
     """Ungated static prologue of the settle: exactly ``n_sweeps`` Jacobi
@@ -929,6 +1021,92 @@ def _settle_loop_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
 
     jax.lax.while_loop(lambda c: c[0] & (c[1] < _MAX_SWEEPS), batch_body,
                        (jnp.bool_(True), jnp.int32(it_start)))
+
+
+def _settle_loop_kernel_packed(mask_ref, w_in_ref, w_ref, ok_ref, w_halo,
+                               flags_ref, run_ref, cnt_ref, *,
+                               block=_SETTLE_BLOCK, sweep_batch=None,
+                               it_start=1):
+    """Packed-word twin of ``_settle_loop_kernel``. Stamps must fit 10 bits,
+    so the while loop stops once the NEXT batch could stamp past
+    ``_PACK_T_BIG - 1`` and reports convergence in ``ok_ref`` (1 = the last
+    batch settled nothing = fixpoint; 0 = stopped at the stamp cap, caller
+    falls back to the unpacked settle)."""
+    if sweep_batch is None:
+        sweep_batch = _SETTLE_SWEEP_BATCH
+    H, W = mask_ref.shape
+    n_blocks = H // block
+
+    def init_b(b, _):
+        r0 = b * block
+        w_ref[pl.ds(r0, block), :] = w_in_ref[pl.ds(r0, block), :]
+        flags_ref[b + 1] = jnp.int32(1)
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, init_b, 0)
+    w_halo[0, :] = jnp.full((W,), 2, jnp.int32)
+    w_halo[2 * n_blocks + 1, :] = jnp.full((W,), 2, jnp.int32)
+    flags_ref[0] = jnp.int32(0)
+    flags_ref[n_blocks + 1] = jnp.int32(0)
+
+    def _block_body(b, it, last):
+        r0 = b * block
+        mask = mask_ref[pl.ds(r0, block), :]
+        w = w_ref[pl.ds(r0, block), :]
+        new_w, can = _settle_math_packed(mask, w, it, w_halo[2 * b, :],
+                                         w_halo[2 * b + 3, :])
+        w_ref[pl.ds(r0, block), :] = new_w
+        if last:  # last-sweep-only flags: see _settle_loop_kernel
+            flags_ref[b + 1] = jnp.any(can).astype(jnp.int32)
+
+    def batch_body(carry):
+        _, it0 = carry
+
+        def scan_b(b, cnt):
+            near = flags_ref[b] + flags_ref[b + 1] + flags_ref[b + 2]
+
+            def app(c):
+                run_ref[c] = b
+                return c + 1
+
+            return jax.lax.cond(near > 0, app, lambda c: c, cnt)
+
+        cnt = jax.lax.fori_loop(0, n_blocks, scan_b, jnp.int32(0))
+
+        def clear_b(b, _):
+            flags_ref[b + 1] = jnp.int32(0)
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, clear_b, 0)
+        for s in range(sweep_batch):
+            it = it0 + s
+
+            def halo_i(i, _):
+                b = run_ref[i]
+                r0 = b * block
+                w_halo[2 * b + 1, :] = w_ref[r0, :]
+                w_halo[2 * b + 2, :] = w_ref[r0 + block - 1, :]
+                return 0
+
+            jax.lax.fori_loop(0, cnt, halo_i, 0)
+
+            def run_i(i, _, last=s == sweep_batch - 1):
+                _block_body(run_ref[i], it, last)
+                return 0
+
+            jax.lax.fori_loop(0, cnt, run_i, 0)
+
+        def or_b(b, a):
+            return a | flags_ref[b + 1]
+
+        changed = jax.lax.fori_loop(0, n_blocks, or_b, jnp.int32(0))
+        cnt_ref[0] = cnt
+        return changed > 0, it0 + sweep_batch
+
+    final = jax.lax.while_loop(
+        lambda c: c[0] & (c[1] + sweep_batch - 1 < _PACK_T_BIG), batch_body,
+        (jnp.bool_(True), jnp.int32(it_start)))
+    ok_ref[0, :] = jnp.full((128,), jnp.where(final[0], 0, 1), jnp.int32)
 
 
 def _settle_loop2d_kernel(mask_ref, lbl_in_ref, t_in_ref, lbl_ref, t_ref,
@@ -1156,6 +1334,47 @@ def _settle_bulk_call(mask, lbl0, t0, block, n_sweeps):
     )(mask, lbl0, t0)
 
 
+def _settle_bulk_call_packed(mask, w0, block, n_sweeps):
+    H, W = mask.shape
+    n_blocks = H // block
+    return pl.pallas_call(
+        functools.partial(_settle_bulk_kernel_packed, block=block,
+                          n_sweeps=n_sweeps),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_blocks + 2, W), jnp.int32),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(mask, w0)
+
+
+def _settle_tail_call_packed(mask, w0, block, sweep_batch, it_start):
+    H, W = mask.shape
+    n_blocks = H // block
+    return pl.pallas_call(
+        functools.partial(_settle_loop_kernel_packed, block=block,
+                          sweep_batch=sweep_batch, it_start=it_start),
+        out_shape=(jax.ShapeDtypeStruct((H, W), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * n_blocks + 2, W), jnp.int32),
+            pltpu.SMEM((n_blocks + 2,), jnp.int32),
+            pltpu.SMEM((n_blocks,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(mask, w0)
+
+
 # Column-tiled settle tail: available via cblock=..., but OFF by default.
 # Measured on v5e at 2048^2 (bulk=24): 1D row-gated tail 25.8 ms vs 2D tiles
 # 31.9-40.4 ms across (block, cblock, sweep_batch) in {16,32,64}x{256,512}x
@@ -1169,12 +1388,13 @@ _CBLOCK = 256
 
 @functools.partial(jax.jit,
                    static_argnames=("block", "sweep_batch", "bulk_sweeps",
-                                    "cblock"))
+                                    "cblock", "dense_labels"))
 def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
                        block: int = _SETTLE_BLOCK,
                        sweep_batch: int = _SETTLE_SWEEP_BATCH,
                        bulk_sweeps: int | None = None,
                        cblock: int | None = None,
+                       dense_labels: bool = False,
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Settle = static ungated BULK prologue + batch-gated loop TAIL.
 
@@ -1189,7 +1409,14 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
     ``cblock``: column-tile width for the 2D-gated tail
     (``_settle_loop2d_kernel``). None/0 = 1D row-gated tail (measured faster
     at square production shapes — see _CBLOCK note). Also
-    bit-identity-invariant."""
+    bit-identity-invariant.
+
+    ``dense_labels``: STATIC promise that seed label values fit 21 bits
+    (true for dense raster ranks from ``regional_minima_labels`` at every
+    supported shape) — routes the 1D path through the packed single-word
+    kernels (~40% less VMEM sweep traffic, see the _PACK_* note), with a
+    lax.cond fallback to the unpacked kernels in the pathological
+    >1022-sweep case. Output is bit-identical either way."""
     H, W = lam.shape
     assert sweep_batch <= block and H % block == 0
     if cblock is None:
@@ -1201,15 +1428,40 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
     mask = _settle_mask(lam.astype(jnp.float32))
     if bulk_sweeps is None:
         bulk_sweeps = _BULK_SWEEPS
+    assert bulk_sweeps + sweep_batch < _PACK_T_BIG
+
+    def _unpacked():
+        l0, tt0, start = lbl0, t0, 1
+        if bulk_sweeps > 0:
+            l0, tt0 = _settle_bulk_call(mask, l0, tt0, _bulk_block_for(H),
+                                        bulk_sweeps)
+            start = bulk_sweeps + 1
+        if cblock:
+            return _settle_tail2d_call(mask, l0, tt0, block, cblock,
+                                       sweep_batch, start)
+        return _settle_tail_call(mask, l0, tt0, block, sweep_batch, start)
+
+    if not dense_labels or cblock:
+        return _unpacked()
+
+    w0 = jnp.where(seeds > 0, lbl0 + 2,
+                   jnp.int32((_PACK_T_BIG << _PACK_SHIFT) | 2))
     it_start = 1
     if bulk_sweeps > 0:
-        lbl0, t0 = _settle_bulk_call(mask, lbl0, t0, _bulk_block_for(H),
-                                     bulk_sweeps)
+        w0 = _settle_bulk_call_packed(mask, w0, _bulk_block_for(H),
+                                      bulk_sweeps)
         it_start = bulk_sweeps + 1
-    if cblock:
-        return _settle_tail2d_call(mask, lbl0, t0, block, cblock, sweep_batch,
-                                   it_start)
-    return _settle_tail_call(mask, lbl0, t0, block, sweep_batch, it_start)
+    w, ok = _settle_tail_call_packed(mask, w0, block, sweep_batch, it_start)
+
+    def _unpack(_):
+        enc = w & _PACK_ENC_MASK
+        t = w >> _PACK_SHIFT
+        return enc - 2, jnp.where(t == _PACK_T_BIG, big_t, t)
+
+    def _stamp_overflow(_):
+        return _unpacked()
+
+    return jax.lax.cond(ok[0, 0] > 0, _unpack, _stamp_overflow, 0)
 
 
 settle_pallas = settle_pallas_loop

@@ -98,13 +98,22 @@ def regional_minima_labels(image: jnp.ndarray,
     # minima; excluding them HERE keeps them out of the CC diffusion entirely —
     # an all-inf band is otherwise one giant plateau needing ~W sweeps to settle
     candidate = (img <= min8) & (img < inf)
-    # a candidate adjacent (8) to an equal-valued non-candidate belongs to an escaping
-    # plateau -> its whole component is not a regional minimum
-    bad = jnp.zeros_like(candidate)
-    for dy, dx in _NBRS8:
-        v = _nbr_val(img, dy, dx, inf)
-        c = _nbr_val(candidate, dy, dx, True)
-        bad = bad | ((v == img) & (~c))
+    # a candidate adjacent (8) to an equal-valued non-candidate belongs to an
+    # escaping plateau -> its whole component is not a regional minimum.
+    # Separable form (vs the naive 8 x (2 shifts + eq + mask) loop): for a
+    # CANDIDATE p every 8-neighbor q has img_q >= img_p, and an equal
+    # non-candidate neighbor is exactly an "escaping" pixel (min8_q < img_q;
+    # the img_q = inf case is impossible at img_q == img_p < inf). With
+    # h = img where escaping else +inf, all h values in p's 9-neighborhood
+    # are >= img_p (p's own h is +inf: candidates never escape), so
+    # min9(h) == img equivalently tests "some equal escaping neighbor" — a
+    # 9-point separable min (4 shifted passes) instead of 16 shifted passes.
+    h = jnp.where(min8 < img, img, inf)
+    rm_h = jnp.minimum(jnp.minimum(_nbr_val(h, 0, -1, inf), h),
+                       _nbr_val(h, 0, 1, inf))
+    min9_h = jnp.minimum(jnp.minimum(_nbr_val(rm_h, -1, 0, inf), rm_h),
+                         _nbr_val(rm_h, 1, 0, inf))
+    bad = min9_h == img
     if use_pallas is None:
         use_pallas = _pallas_enabled(image.shape)
     if use_pallas:
@@ -264,6 +273,10 @@ def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
     img = image.astype(jnp.float32)
     inf = jnp.float32(jnp.inf)
 
+    # dense raster ranks from regional_minima_labels are statically <= H*W/4+1
+    # < 2^21-3 at every pallas-supported shape -> packed settle is safe; user
+    # markers carry arbitrary values -> unpacked (flood_pallas _PACK_* note)
+    dense_labels = markers is None
     if markers is None:
         markers = regional_minima_labels(img, use_pallas=use_pallas,
                                          scan=minima_scan)
@@ -307,7 +320,7 @@ def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
     if use_pallas:
         from tissue_image_processing_tpu.ops.flood_pallas import settle_pallas
 
-        lbl_raw, t = settle_pallas(lam, seeds)
+        lbl_raw, t = settle_pallas(lam, seeds, dense_labels=dense_labels)
         lbl = jnp.maximum(lbl_raw, 0)
         return _apply_lines(lbl, t, lam, q_lam, H, W, big_t, watershed_line, img)
 
