@@ -417,6 +417,42 @@ def test_settle_packed_matches_unpacked():
         FP.pl.pallas_call = orig_call
 
 
+def test_settle_packed_stamp_overflow_falls_back():
+    """When the settle needs more sweeps than the packed 10-bit stamps can
+    represent, the lax.cond fallback must rerun the unpacked settle and return
+    the identical result. Exercised by shrinking the stamp cap below this
+    image's real sweep count (the production cap of 1022 would need a
+    ~1022-px monotone chain — minutes in interpret mode)."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    from tissue_image_processing_tpu.ops.watershed import regional_minima_labels
+
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    img = make_cell_image(128, 128, n_seeds=15, seed=9)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    b = jnp.asarray(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
+    FP.pl.pallas_call = interp_call
+    orig_big = FP._PACK_T_BIG
+    try:
+        seeds = regional_minima_labels(b, use_pallas=True)
+        lam = FP.bf_flood_pallas.__wrapped__(b, seeds)
+        l1, t1 = FP.settle_pallas.__wrapped__(lam, seeds, dense_labels=False)
+        t1n = np.asarray(t1)
+        assert int(t1n[t1n < (1 << 29)].max()) > 40  # shrunken cap must bind
+        FP._PACK_T_BIG = 40
+        l2, t2 = FP.settle_pallas.__wrapped__(lam, seeds, dense_labels=True,
+                                              bulk_sweeps=8)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    finally:
+        FP._PACK_T_BIG = orig_big
+        FP.pl.pallas_call = orig_call
+
+
 def test_settle_2d_tiled_matches_1d():
     """The 2D tile-gated settle tail (column stripes + 3x3 flag dilation)
     equals the 1D row-gated tail bit-for-bit — labels AND arrival stamps —
