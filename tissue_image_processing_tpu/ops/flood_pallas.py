@@ -812,36 +812,57 @@ _PACK_T_BIG = (1 << (31 - _PACK_SHIFT)) - 1  # 1023 = never-settled sentinel
 def _settle_math_packed(mask, w, it, up, dn):
     """Packed-word twin of ``_settle_math`` (full-width blocks only): same
     predicates on enc = w & mask21, update stamps the sweep index into the
-    high bits of the settled word. Returns (new_w, can)."""
+    high bits of the settled word. Returns (new_w, can).
+
+    Op-lean form (bit-identical to the straightforward one, ~25% fewer VPU
+    ops — the settle is VPU-compute-bound, ~0.2 ms per all-active sweep at
+    2048^2):
+    - readiness: instead of 4x ((~lt|qs), (~le|qs)) boolean chains, OR the
+      pixel's own mask bits for each UNSETTLED neighbor direction into
+      ``blocked`` — ready = no strict bit blocked (low nibble), all_eq = no
+      non-strict bit blocked (high nibble).
+    - donors: the le bit is broadcast to an all-ones/zeros lane mask
+      (``lem``, two shifts) so the donor value is ``qenc & lem`` with no
+      select; the max runs unfiltered (non-donor encs are <= 2 and lose to
+      any real label, and has_donor = maxl > 2 tests genuineness), and the
+      min runs on (dv - 3) as if unsigned, so line/void/unsettled/no-le
+      values wrap to huge instead of needing a (donor ? enc : BIG) select.
+      Mosaic can't legalize ``arith.minui``, so the unsigned min is done as
+      a SIGNED min with the sign bit folded into the bias: min_u(x) =
+      min_s(x ^ 0x80000000) ^ 0x80000000, and (dv - 3) ^ 0x80000000 is just
+      the wrapping add dv + (2^31 - 3)."""
     block, W = w.shape
     enc = w & _PACK_ENC_MASK
-    settled = enc != 2
+    unsettled = enc == 2
     qws = [
         _shift_rows(w, True, up),
         _shift_rows(w, False, dn),
         _shift_cols(w, True, 2),
         _shift_cols(w, False, 2),
     ]
-    ready = jnp.ones_like(settled)
-    all_eq = jnp.ones_like(settled)
-    minl = jnp.full((block, W), jnp.int32((1 << 30)), jnp.int32)
+    bias = jnp.int32(2**31 - 3)  # wrapping (x - 3) ^ signbit in one add
+    blocked = jnp.zeros((block, W), jnp.int32)
     maxl = jnp.zeros((block, W), jnp.int32)
+    mins = jnp.full((block, W), jnp.int32(2**31 - 1), jnp.int32)
     for k, qw in enumerate(qws):
         qenc = qw & _PACK_ENC_MASK
-        qsettled = qenc != 2
-        lt = (mask & (1 << k)) != 0        # qv_k < lam
-        le = (mask & (1 << (4 + k))) != 0  # qv_k <= lam
-        ready = ready & ((~lt) | qsettled)
-        all_eq = all_eq & ((~le) | qsettled)
-        donor = (qenc > 2) & le
-        minl = jnp.where(donor, jnp.minimum(minl, qenc), minl)
-        maxl = jnp.where(donor, jnp.maximum(maxl, qenc), maxl)
-    has_donor = maxl > 0
+        kbits = (1 << k) | (1 << (4 + k))
+        blocked = blocked | jnp.where(qenc == 2, mask & kbits, 0)
+        # all-ones where this direction's le bit is set (arith shift of the
+        # bit into/from the sign position)
+        lem = (mask << (27 - k)) >> 31
+        dv = qenc & lem
+        maxl = jnp.maximum(maxl, dv)
+        mins = jnp.minimum(mins, dv + bias)
+    ready = (blocked & 0xF) == 0
+    all_eq = blocked < 16  # no le bit blocked (blocked is non-negative)
+    has_donor = maxl > 2
+    minl = mins - bias  # garbage when no donor; gated below
     conflict = has_donor & (minl != maxl)
-    unsettled = ~settled
-    settle_lbl = unsettled & ready & has_donor & (~conflict)
-    settle_line = unsettled & ready & conflict
-    settle_void = unsettled & ready & (~has_donor) & all_eq
+    ur = unsettled & ready
+    settle_lbl = ur & has_donor & (~conflict)
+    settle_line = ur & conflict
+    settle_void = ur & (~has_donor) & all_eq
     can = settle_lbl | settle_line | settle_void
     new_enc = jnp.where(settle_lbl, maxl,
                         jnp.where(settle_line, 1, 0))

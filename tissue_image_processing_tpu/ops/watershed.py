@@ -141,12 +141,20 @@ def regional_minima_labels(image: jnp.ndarray,
         # costs ~0.2 ms
         ok = comp >= 0
         is_root = ok & (comp == idx2)
-        # raster-order rank of each root: two-level cumsum (within-row, then
-        # across row totals) — measured 0.57 ms vs 1.34 ms for the flat 4M
-        # cumsum at 2048^2
-        row = jnp.cumsum(is_root.astype(jnp.int32), axis=1)
-        rowtot = jnp.cumsum(row[:, -1])
-        rank = row + (rowtot - row[:, -1])[:, None]
+        # raster-order rank of each root: two-level prefix sum. Cumsums run
+        # as MXU matmuls against a lower-triangular ones matrix — XLA lowers
+        # jnp.cumsum to reduce_window/log-passes on the VPU (the 2-level
+        # cumsum form measured 6.2 ms at 2048^2 in isolation), while an
+        # (H, W) @ (W, W) f32 matmul is ~0.3 ms and counts stay exact in f32
+        # (row counts <= W, total roots <= H*W/4 < 2^24)
+        tri = jnp.tril(jnp.ones((W, W), jnp.float32)).T  # tri[j, i] = j <= i
+        rootf = is_root.astype(jnp.float32)
+        row = jnp.dot(rootf, tri, preferred_element_type=jnp.float32)
+        rtot = row[:, -1]
+        # level 2 is a tiny (H,) scan — not worth an (H, H) triangle (H can
+        # be 4352 for stacked frames: 75 MB + a 165-GFLOP f32 matmul)
+        rowtot = jnp.cumsum(rtot)
+        rank = (row + (rowtot - rtot)[:, None]).astype(jnp.int32)
         init2 = jnp.where(is_root, rank, jnp.int32(n))
         seeds = cc_diffusion_pallas(ok, init=init2, scan=scan,
                                     bulk_sweeps=cc_bulk)
