@@ -551,3 +551,102 @@ def test_settle_loop_kernel_block_size_invariant():
         FP.pl.pallas_call = orig_call
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def _boundary_map(n=128, seed=11, width=3):
+    """A realistic {0,1} boundary map: dilated watershed lines of a cell image
+    — the exact structure ``unet_postprocess`` feeds the flood (image-spanning
+    positive band, zero-plateau cell interiors + background sea)."""
+    img = make_cell_image(n, n, n_seeds=14, seed=seed)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    blurred = ndi.gaussian_filter(seg.astype(np.float32), 3.0)
+    lab = np.asarray(watershed(jnp.asarray(blurred)))
+    bound = ndi.binary_dilation(lab == 0, np.ones((width, width), bool))
+    return jnp.asarray(bound.astype(np.float32))
+
+
+def test_watershed_binary_matches_generic_xla():
+    """On a {0,1} map, seeds are the zero-set 4-CCs and lam == img, so the
+    binary fast path must be BIT-exact vs the generic path (incl. with the
+    scan-based minima the unet_postprocess call uses)."""
+    b = _boundary_map()
+    want = np.asarray(watershed(b, use_pallas=False))
+    got = np.asarray(watershed(b, use_pallas=False, binary=True))
+    np.testing.assert_array_equal(got, want)
+    got_scan = np.asarray(watershed(b, use_pallas=False, minima_scan=True,
+                                    binary=True))
+    np.testing.assert_array_equal(got_scan, want)
+
+
+def test_regional_minima_binary_matches_generic():
+    b = _boundary_map(seed=4)
+    want = np.asarray(regional_minima_labels(b, use_pallas=False))
+    got = np.asarray(regional_minima_labels(b, use_pallas=False, binary=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_watershed_binary_pallas_and_padded_match_generic():
+    """Binary fast path through the Pallas kernels, including the +inf
+    pad-and-crop route for unaligned shapes (pad bands are +inf, not 0/1 —
+    the binary seed rule must still hold: inf pixels are not candidates)."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    import importlib
+    WS = importlib.import_module("tissue_image_processing_tpu.ops.watershed")
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    b_al = _boundary_map(n=128, seed=7)
+    b_un = _boundary_map(n=150, seed=9)[:150, :137]
+    want_al = np.asarray(WS.watershed(b_al, use_pallas=False))
+    want_un = np.asarray(WS.watershed(b_un, use_pallas=False))
+    FP.pl.pallas_call = interp_call
+    try:
+        got_al = np.asarray(WS.watershed.__wrapped__(b_al, use_pallas=True,
+                                                     binary=True))
+        got_un = np.asarray(WS.watershed.__wrapped__(b_un, use_pallas=True,
+                                                     binary=True))
+    finally:
+        FP.pl.pallas_call = orig_call
+    np.testing.assert_array_equal(got_al, want_al)
+    np.testing.assert_array_equal(got_un, want_un)
+
+
+def test_watershed_batch_binary_matches_per_frame():
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    import importlib
+    WS = importlib.import_module("tissue_image_processing_tpu.ops.watershed")
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    batch = jnp.stack([_boundary_map(n=128, seed=s) for s in (2, 6)])
+    want = np.stack([np.asarray(WS.watershed(batch[i], use_pallas=False))
+                     for i in range(2)])
+    FP.pl.pallas_call = interp_call
+    try:
+        got = np.asarray(WS.watershed_batch.__wrapped__(batch, use_pallas=True,
+                                                        binary=True))
+    finally:
+        FP.pl.pallas_call = orig_call
+    np.testing.assert_array_equal(got, want)
+
+
+def test_watershed_binary_with_markers_runs_real_flood():
+    """User markers void the lam == img identity (an unmarked zero CC floods
+    at level 1, not 0), so binary=True with markers must still Bellman-Ford —
+    and agree with the generic markers path."""
+    b = _boundary_map(seed=13)
+    mk = regional_minima_labels(b, use_pallas=False)
+    # keep only odd-numbered markers: some zero CCs are now unmarked
+    mk = jnp.where(mk % 2 == 1, mk, 0)
+    want = np.asarray(watershed(b, markers=mk, use_pallas=False))
+    got = np.asarray(watershed(b, markers=mk, use_pallas=False, binary=True))
+    np.testing.assert_array_equal(got, want)
+    # unmarked zero CCs must have been flooded by a marked neighbor (no voids
+    # beyond the watershed lines' 1-px web)
+    assert (np.asarray(got) > 0).sum() > (np.asarray(mk) > 0).sum()
