@@ -357,3 +357,46 @@ def test_legacy_h5_neighbor_string_parsing(monkeypatch):
     monkeypatch.setattr(pd, "read_hdf", lambda path, key: fixture.copy())
     df = Tissue._read_legacy_h5("whatever.h5")
     assert df["neighbors"].tolist() == [set(), {3, 7}, {1, 2}, {4}]
+
+
+def test_recoil_speed_from_circular_ablation(tmp_path):
+    """Cells inside the fitted ablation circle moved 2 px radially OUTWARD
+    plus a (1, -1) rigid drift; the analysis must cancel the drift and report
+    radial_movement ~ -2 (positive = toward the center) on the rim cells —
+    those touching the invalidated (ablated) center cell."""
+    import dataclasses
+
+    tissue = make_tissue(T=2)
+    tissue.track_cells()
+    t2 = tissue.get_cells_info(2)
+    cx = np.asarray(t2.cx, float).copy()
+    cy = np.asarray(t2.cy, float).copy()
+    xc = yc = 32.0
+    d = np.hypot(cx - xc, cy - yc)
+    dd = d.copy()
+    dd[np.asarray(t2.valid) == 0] = 1e9
+    center_idx = int(dd.argmin())
+    valid = np.asarray(t2.valid).copy()
+    valid[center_idx] = 0  # the ablated hole
+    ux = (cx - xc) / np.maximum(d, 1e-9)
+    uy = (cy - yc) / np.maximum(d, 1e-9)
+    t2b = dataclasses.replace(
+        t2, cx=jnp.asarray(cx + 2 * ux + 1.0, jnp.float32),
+        cy=jnp.asarray(cy + 2 * uy - 1.0, jnp.float32),
+        valid=jnp.asarray(valid, jnp.int32))
+    tissue.set_cells_info(2, t2b)
+    tissue.shape_fitting_results[1]["circle"] = {
+        "x_center": (xc, 0.0), "y_center": (yc, 0.0), "radius": (25.0, 0.0)}
+    out = tissue.calc_recoil_speed_from_circular_ablation(
+        "circle", 1, 2, save_path=str(tmp_path / "recoil.pkl"))
+    assert len(out) > 0
+    assert (out["n_invalid_neighbors"] > 0).all()
+    # outward recoil: negative radial movement, ~-2 after drift cancellation
+    assert (out["radial_movement"] < -1.0).all()
+    assert abs(out["radial_movement"].mean() + 2.0) < 0.8
+    assert (tmp_path / "recoil.pkl").exists()
+    # unknown shape name raises
+    with pytest.raises(KeyError):
+        tissue.calc_recoil_speed_from_circular_ablation("ellipse", 1, 2,
+                                                        save_path="")
+    tissue.clean_up()

@@ -534,6 +534,85 @@ class Tissue:
         return np.asarray(contact_length_matrix(jnp.asarray(labels.astype(np.int32)),
                                                 num_labels=self.capacity))
 
+    def calc_recoil_speed_from_circular_ablation(self, shape_name: str,
+                                                 first_frame: int,
+                                                 last_frame: int,
+                                                 save_path: Optional[str] = None
+                                                 ) -> Optional[pd.DataFrame]:
+        """Radial recoil of the cells inside a fitted ablation circle
+        (reference ``calc_recoil_speed_from_circular_ablation``,
+        ``tissue_info.py:4096-4122``).
+
+        Reads the circle fit stored under ``shape_name`` in
+        ``shape_fitting_results[last_frame - 1]`` (keys ``x_center`` /
+        ``y_center`` / ``radius`` as (value, stderr) pairs, as produced by
+        :func:`core.shape_fit.fit_a_circle`). Valid non-edge cells of
+        ``last_frame`` lying inside the circle are matched to ``first_frame``
+        by tracking id; their movement is corrected by the inner-cell mean
+        (the rigid drift of the ablated patch) and projected onto the
+        direction toward the circle center (positive = recoiling inward).
+        Returns the OUTERMOST inner cells — those touching >= 1 invalid
+        neighbor, i.e. the ablation rim — and pickles the same frame to
+        ``save_path`` (default ``recoil_data.pkl`` beside ``data_path``,
+        matching the reference; pass ``save_path=""`` to skip the write).
+        """
+        from tissue_image_processing_tpu.core.features import (
+            n_neighbors_from_type)
+        table = self.get_cells_info(last_frame)
+        first = self.get_cells_info(first_frame)
+        if table is None or first is None:
+            return None
+        fits = self.shape_fitting_results[last_frame - 1]
+        if shape_name not in fits:
+            raise KeyError(f"no '{shape_name}' fit stored for frame "
+                           f"{last_frame}; run shape fitting first")
+        circle = fits[shape_name]
+        xc, yc = float(circle["x_center"][0]), float(circle["y_center"][0])
+        radius = float(circle["radius"][0])
+        # the rim detector needs every cell's neighbor validity -> full table
+        n_invalid = np.asarray(n_neighbors_from_type(table,
+                                                     count_mode="invalid"))
+        cx, cy = np.asarray(table.cx, float), np.asarray(table.cy, float)
+        to_cx, to_cy = xc - cx, yc - cy
+        dist = np.hypot(to_cx, to_cy)
+        inner = self.get_valid_non_edge_mask(last_frame) & (dist <= radius)
+        # match by tracked id (reference merges on "label")
+        lab = np.asarray(table.label)
+        flab = np.asarray(first.label)
+        order = np.argsort(flab, kind="stable")
+        pos = np.clip(np.searchsorted(flab, lab, sorter=order),
+                      0, max(flab.size - 1, 0))
+        fidx = order[pos]
+        matched = (flab[fidx] == lab) & (lab > 0) & \
+            self.get_valid_non_edge_mask(first_frame)[fidx]
+        sel = np.nonzero(inner & matched)[0]
+        if sel.size == 0:
+            return pd.DataFrame()
+        mv_x = cx[sel] - np.asarray(first.cx, float)[fidx[sel]]
+        mv_y = cy[sel] - np.asarray(first.cy, float)[fidx[sel]]
+        # rigid-drift correction: the patch as a whole may translate
+        mv_x -= mv_x.mean()
+        mv_y -= mv_y.mean()
+        radial = (mv_x * to_cx[sel] + mv_y * to_cy[sel]) / \
+            np.maximum(dist[sel], 1e-9)
+        df = pd.DataFrame({
+            "label": lab[sel], "cx": cx[sel], "cy": cy[sel],
+            "to_center_x": to_cx[sel], "to_center_y": to_cy[sel],
+            "dist_to_center": dist[sel],
+            "movement_x": mv_x, "movement_y": mv_y,
+            "radial_movement": radial,
+            "n_invalid_neighbors": n_invalid[sel],
+            "type": np.asarray(table.type)[sel],
+        })
+        rim = df[df["n_invalid_neighbors"] > 0].reset_index(drop=True)
+        if save_path is None:
+            save_path = os.path.join(
+                os.path.dirname(os.path.abspath(self.data_path)),
+                "recoil_data.pkl")
+        if save_path:
+            rim.to_pickle(save_path)
+        return rim
+
     # ---------------- events (delegates to core.events)
 
     def add_event(self, *args, **kwargs):
