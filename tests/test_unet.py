@@ -208,3 +208,29 @@ def test_fold_batchnorm_matches_bn():
         "bias": variables["params"]["DoubleConv_0"]["BatchNorm_0"]["bias"],
     }
     assert fold_batchnorm(bad, depth=2) is None
+
+
+def test_unet_postprocess_batch_matches_per_frame():
+    """unet_postprocess_batch (one stacked binary flood launch) must be
+    bit-identical to per-frame unet_postprocess. (The stacked Pallas binary
+    flood itself is parity-tested in interpret mode by
+    test_watershed_batch_binary_matches_per_frame; on the CPU suite this
+    exercises the XLA fallback branch.)"""
+    import importlib
+    P = importlib.import_module("tissue_image_processing_tpu.models.predictor")
+
+    rng = np.random.default_rng(3)
+    preds = np.zeros((2, 128, 128, 2), np.float32)
+    preds[..., 1] = 1.0
+    for b in range(2):
+        for _ in range(6):
+            y, x = rng.integers(10, 110, 2)
+            preds[b, y:y + 14, x:x + 14, 0] = 0.9
+    pb = jnp.asarray(preds)
+    want = [P.unet_postprocess(pb[i]) for i in range(2)]
+    got = P.unet_postprocess_batch(pb)
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(got[0][i]),
+                                      np.asarray(want[i][0]))
+        np.testing.assert_array_equal(np.asarray(got[1][i]),
+                                      np.asarray(want[i][1]))

@@ -28,9 +28,10 @@ from tissue_image_processing_tpu.models.weights_io import load_keras_unet_weight
 from tissue_image_processing_tpu.ops.brightness import normalize_channel
 from tissue_image_processing_tpu.ops.morphology import (
     binary_closing, binary_dilation, binary_erosion)
-from tissue_image_processing_tpu.ops.watershed import watershed
+from tissue_image_processing_tpu.ops.watershed import watershed, watershed_batch
 
-__all__ = ["SegmentationPredictor", "find_desired_shape", "unet_postprocess"]
+__all__ = ["SegmentationPredictor", "find_desired_shape", "unet_postprocess",
+           "unet_postprocess_batch"]
 
 
 def find_desired_shape(shape_y: int, shape_x: int) -> Tuple[int, int]:
@@ -73,6 +74,31 @@ def unet_postprocess(predictions: jnp.ndarray, hc_threshold: float = 0.1,
     # remaining cost is two zero-set CC diffusions + the settle (~4 ms).
     labels = watershed(boundary.astype(jnp.float32), watershed_line=True,
                        minima_scan=True, binary=True)
+    return labels, hc
+
+
+@functools.partial(jax.jit, static_argnames=("hc_threshold", "closing_kernel",
+                                             "erosion_kernel"))
+def unet_postprocess_batch(predictions: jnp.ndarray, hc_threshold: float = 0.1,
+                           closing_kernel: int = 5, erosion_kernel: int = 7):
+    """(B, H, W, 2) batched :func:`unet_postprocess` with ONE flood launch.
+
+    The morphology vmaps cleanly (pure XLA), but vmap-of-Pallas serializes the
+    flood kernel and adds ~50%/frame (bench.py batching notes) — so the B
+    boundary maps go through :func:`watershed_batch`, which row-stacks them
+    with +inf separators into a single Pallas launch, here with the
+    ``binary=True`` fast path (zero-set seeds, no Bellman-Ford). Outputs are
+    bit-identical to per-frame :func:`unet_postprocess`.
+    """
+    p0 = predictions[..., 0]
+    p0 = p0 @ jnp.eye(p0.shape[-1], dtype=p0.dtype)  # layout firewall (above)
+    hc_b = p0 > hc_threshold
+    closed = jax.vmap(lambda b: binary_closing(b, closing_kernel))(hc_b)
+    hc = jax.vmap(lambda b: binary_erosion(b, erosion_kernel))(closed)
+    bound = closed & (~hc)
+    boundary = jax.vmap(lambda b: binary_dilation(b, closing_kernel))(bound)
+    labels = watershed_batch(boundary.astype(jnp.float32), watershed_line=True,
+                             minima_scan=True, binary=True)
     return labels, hc
 
 
@@ -129,5 +155,5 @@ class SegmentationPredictor:
         batch = jnp.concatenate([p[0] for p in prepared], axis=0)
         preds = self._apply(self.variables, batch)
         preds = preds[:, npad[1][0]:, npad[2][0]:, :]
-        labels, hc = jax.vmap(unet_postprocess)(preds)
+        labels, hc = unet_postprocess_batch(preds)
         return labels, hc

@@ -252,10 +252,11 @@ _STACK_SEP = 16  # inf rows between stacked frames; >=1 isolates the 4-neighbor
 
 
 @functools.partial(jax.jit, static_argnames=("watershed_line", "use_pallas",
-                                             "binary"))
+                                             "binary", "minima_scan"))
 def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
                     use_pallas: bool | None = None,
-                    binary: bool = False) -> jnp.ndarray:
+                    binary: bool = False,
+                    minima_scan: bool = False) -> jnp.ndarray:
     """Flood B frames in ONE Pallas launch by stacking them along rows.
 
     The flood kernels' sweep count is set by content (plateau diameters, line
@@ -275,7 +276,8 @@ def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
     B, H, W = images.shape
     if B == 1:
         return watershed(images[0], watershed_line=watershed_line,
-                         use_pallas=use_pallas, binary=binary)[None]
+                         use_pallas=use_pallas, binary=binary,
+                         minima_scan=minima_scan)[None]
     from tissue_image_processing_tpu.ops.flood_pallas import pallas_flood_supported
 
     Wp = -(-W // 128) * 128
@@ -287,14 +289,16 @@ def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
     if not (use_pallas and pallas_flood_supported((Hs, Wp))):
         return jax.lax.map(
             lambda im: watershed(im, watershed_line=watershed_line,
-                                 use_pallas=False, binary=binary), images)
+                                 use_pallas=False, binary=binary,
+                                 minima_scan=minima_scan), images)
     inf = jnp.float32(jnp.inf)
     fr = jnp.pad(images.astype(jnp.float32),
                  ((0, 0), (0, _STACK_SEP), (0, Wp - W)), constant_values=inf)
     stacked = fr.reshape(B * slot, Wp)
     if tail:
         stacked = jnp.pad(stacked, ((0, tail), (0, 0)), constant_values=inf)
-    out = _watershed_core(stacked, None, watershed_line, True, binary=binary)
+    out = _watershed_core(stacked, None, watershed_line, True,
+                          minima_scan=minima_scan, binary=binary)
     labs = out[:B * slot].reshape(B, slot, Wp)[:, :H, :W]
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
     mins = jnp.min(jnp.where(labs > 0, labs, big).reshape(B, -1), axis=1)
