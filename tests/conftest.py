@@ -19,6 +19,14 @@ import pytest  # noqa: E402
 
 assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 
+# Persist compiled executables across test runs: the suite's cost is dominated
+# by XLA CPU compiles of the big Pallas-path/sharded programs (10-50 s each),
+# and the persistent cache works for the CPU backend too. First run warms the
+# cache (.jax_cache_tests/, gitignored); reruns skip every unchanged compile.
+from tissue_image_processing_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(os.path.dirname(__file__), ".jax_cache_tests"))
+
 
 @pytest.fixture
 def rng():

@@ -68,10 +68,18 @@ def _div(py, px):
 
 
 def _tvl1_level(I0, I1, u, v, attachment, tightness, num_warp, num_iter, tau=0.25):
-    """One pyramid level of the TV-L1 solver (flow refined in place)."""
+    """One pyramid level of the TV-L1 solver (flow refined in place).
+
+    Both the warp loop and the inner proximal loop are ``lax.fori_loop``s: the
+    body is a fixed elementwise pass (bandwidth-bound — no cross-iteration
+    fusion to lose), and rolling it keeps the XLA graph O(1) in
+    num_warp*num_iter instead of unrolling ~50 copies per pyramid level
+    (which dominated compile time)."""
     th = attachment * tightness  # lambda * theta threshold scale
-    for _ in range(num_warp):
-        u0, v0 = u, v
+    sigma = tau / tightness
+
+    def warp_body(_, uv):
+        u0, v0 = uv
         I1w = warp_bilinear(I1, u0, v0)
         # gradients of the WARPED moving image (central differences)
         Iy = (jnp.roll(I1w, -1, 0) - jnp.roll(I1w, 1, 0)) * 0.5
@@ -79,11 +87,9 @@ def _tvl1_level(I0, I1, u, v, attachment, tightness, num_warp, num_iter, tau=0.2
         grad2 = Iy * Iy + Ix * Ix
         safe = jnp.maximum(grad2, 1e-8)
         rho_c = I1w - Iy * u0 - Ix * v0 - I0
-        pyu = jnp.zeros_like(u)
-        pxu = jnp.zeros_like(u)
-        pyv = jnp.zeros_like(u)
-        pxv = jnp.zeros_like(u)
-        for _ in range(num_iter):
+
+        def prox_body(_, st):
+            u, v, pyu, pxu, pyv, pxv = st
             rho = rho_c + Iy * u + Ix * v
             # pointwise threshold (the L1 data-term proximal step)
             case_neg = rho < -th * grad2
@@ -97,18 +103,24 @@ def _tvl1_level(I0, I1, u, v, attachment, tightness, num_warp, num_iter, tau=0.2
             # TV proximal via Chambolle dual ascent
             u = vu + tightness * _div(pyu, pxu)
             v = vv + tightness * _div(pyv, pxv)
-            sigma = tau / tightness
-            for comp, (py_, px_) in (("u", (pyu, pxu)), ("v", (pyv, pxv))):
-                f = u if comp == "u" else v
-                gy, gx = _grad(f)
-                py_ = py_ + sigma * gy
-                px_ = px_ + sigma * gx
-                norm = jnp.maximum(1.0, jnp.sqrt(py_ * py_ + px_ * px_))
-                if comp == "u":
-                    pyu, pxu = py_ / norm, px_ / norm
-                else:
-                    pyv, pxv = py_ / norm, px_ / norm
-    return u, v
+            gy, gx = _grad(u)
+            pyu = pyu + sigma * gy
+            pxu = pxu + sigma * gx
+            nu = jnp.maximum(1.0, jnp.sqrt(pyu * pyu + pxu * pxu))
+            pyu, pxu = pyu / nu, pxu / nu
+            gy, gx = _grad(v)
+            pyv = pyv + sigma * gy
+            pxv = pxv + sigma * gx
+            nv = jnp.maximum(1.0, jnp.sqrt(pyv * pyv + pxv * pxv))
+            pyv, pxv = pyv / nv, pxv / nv
+            return (u, v, pyu, pxu, pyv, pxv)
+
+        z = jnp.zeros_like(u0)
+        st = jax.lax.fori_loop(0, num_iter,
+                               prox_body, (u0, v0, z, z, z, z))
+        return st[0], st[1]
+
+    return jax.lax.fori_loop(0, num_warp, warp_body, (u, v))
 
 
 @functools.partial(jax.jit, static_argnames=("attachment", "tightness",
