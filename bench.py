@@ -321,22 +321,27 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
     variables = fold_batchnorm(variables, depth=3)  # inference form
 
     def run_cfg3():
-        # U-Net inference on 8 projected frames (1024^2, 2ch, bf16).
-        # Roofline: this forward is 4.94 TFLOP at 1024^2 (XLA cost_analysis on
-        # the jitted graph), so one v5e chip (~197 TF/s bf16) bounds it at
-        # ~25 ms/frame = ~40 fps at 100% MFU — cfg3 measures MFU, not ops.
-        x1 = jnp.stack([projs[0] / jnp.maximum(projs[0].max(), 1.0)] * 2,
-                       axis=-1)
+        # U-Net inference on 8 projected frames (1024^2, 2ch, bf16) as ONE
+        # batched forward — the product multi-frame path
+        # (SegmentationPredictor.predict_batch). Roofline: this forward is
+        # 4.94 TFLOP/frame at 1024^2 (XLA cost_analysis on the jitted graph),
+        # so one v5e chip (~197 TF/s bf16) bounds it at ~25 ms/frame = ~40 fps
+        # at 100% MFU — cfg3 measures MFU, not ops. Batch matters: XLA's conv
+        # tilings reach ~172 TF/s at B=8 but only ~116 TF/s at B=1-4
+        # (probe_unet_batch.py; the full-res convs go 62 -> 188 TF/s).
+        x8 = jnp.stack([projs[t % T] / jnp.maximum(projs[t % T].max(), 1.0)
+                        for t in range(8)])
+        x8 = jnp.stack([x8, x8], axis=-1)  # (8, H, W, 2)
 
         @jax.jit
-        def cfg3(v, x1):
+        def cfg3(v, x8):
             def step(i, acc):
-                x = x1 + acc * 1e-30
-                pred = model.apply(v, x[None], train=False)
+                x = x8 + acc.astype(x8.dtype) * 1e-30
+                pred = model.apply(v, x, train=False)
                 return acc + pred[0, 0, 0, 0].astype(jnp.float32) * 1e-20
-            return jax.lax.fori_loop(0, 8, step, jnp.float32(0))
+            return jax.lax.fori_loop(0, 2, step, jnp.float32(0))
 
-        return round(8 / _timed_loop(lambda: cfg3(variables, x1), 8), 2)
+        return round(16 / _timed_loop(lambda: cfg3(variables, x8), 16), 2)
 
     def run_cfg4():
         # 100-frame time-lapse watershed + tracking (adaptive radii from the
@@ -380,22 +385,30 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         # chip) is amortized; all R5 passes' outputs are exported.
         from tissue_image_processing_tpu.core.tracking import (
             adaptive_effective_ranges)
-        from tissue_image_processing_tpu.models.predictor import unet_postprocess
+        from tissue_image_processing_tpu.models.predictor import (
+            unet_postprocess_batch)
         from tissue_image_processing_tpu.ops.brightness import normalize_channel
         R5 = 4
 
         def cfg5_movie_pass(mv, v, ranges):
-            def per_frame(stack):
-                proj, _ = project_timepoint_auto(stack, reference_channel=0,
-                                                 airyscan=False)
-                norm = jax.vmap(normalize_channel)(proj)
-                x = jnp.transpose(norm, (2, 1, 0)).astype(jnp.bfloat16)
-                pred = model.apply(v, x[None], train=False)[0]
-                labels, hc = unet_postprocess(pred.astype(jnp.float32))
-                tb = frame_cellinfo(labels, capacity=cap)
-                return (proj[0], tb.cy, tb.cx, tb.area, tb.valid_mask(),
-                        tb.n_neighbors)
-            prj, cys, cxs, areas, masks, nn = jax.lax.map(per_frame, mv)
+            # stage-batched, not frame-batched: projection runs per frame
+            # (the fused Pallas projection serializes under vmap), but the
+            # U-Net forward takes ALL T frames in one batch (B=8 runs the
+            # convs at ~172 TF/s vs ~116 at B=1, probe_unet_batch.py) and the
+            # post-process floods through stacked Pallas launches
+            # (watershed_batch auto-chunks to the VMEM cap: 8 frames -> 2
+            # launches of 4).
+            prj = jax.lax.map(
+                lambda s: project_timepoint_auto(
+                    s, reference_channel=0, airyscan=False)[0], mv)
+            norm = jax.vmap(jax.vmap(normalize_channel))(prj)
+            x = jnp.transpose(norm, (0, 3, 2, 1)).astype(jnp.bfloat16)
+            preds = model.apply(v, x, train=False)
+            labels, _hc = unet_postprocess_batch(preds.astype(jnp.float32))
+            tabs = jax.vmap(lambda l: frame_cellinfo(l, capacity=cap))(labels)
+            prj, cys, cxs, areas, masks, nn = (
+                prj[:, 0], tabs.cy, tabs.cx, tabs.area, tabs.valid_mask(),
+                tabs.n_neighbors)
             drifts = compute_drift_chain(prj)
             ids = track_movie(cys, cxs, areas, masks, drifts=drifts,
                               capacity=2 * cap, search_ranges=ranges)
@@ -419,7 +432,12 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         @jax.jit
         def cfg5_program(mv, v, ranges):
             def rep(r, out):
-                packed = cfg5_movie_pass(mv + r * 1e-30, v, ranges)
+                # dtype-preserving data-chained perturbation (like the
+                # headline program): `mv + r * 1e-30` would promote the
+                # uint16 movie to f32 — a ~1 GB materialization per repeat
+                # that also knocks the projection off its uint16 fused path
+                pert = (out[0, 0, 0] * 0).astype(mv.dtype)
+                packed = cfg5_movie_pass(mv + pert, v, ranges)
                 return jax.lax.dynamic_update_slice_in_dim(
                     out, packed[None], r, axis=0)
             out0 = jnp.zeros((R5, T, NCOL), jnp.float32)

@@ -92,6 +92,24 @@ def test_cli_pipeline(tmp_path):
     assert "tissue" in seen and "df" in seen and len(seen["df"]) > 0
 
 
+def test_cli_unet_batched(tmp_path):
+    """cmd_unet segments frames in predict_batch groups (reference
+    UnetSegmentationThread gui.py:2055-2073 went one frame at a time)."""
+    from tissue_image_processing_tpu.cli import main
+    movie = _grid_movie(tmp_path)  # T=3: one partial group of 3 via the loop
+    session = os.path.join(tmp_path, "u.seg")
+    assert main(["unet", movie, "--session", session,
+                 "--capacity", "256"]) == 0  # random-init weights
+    from tissue_image_processing_tpu.core.tissue import Tissue
+    t = Tissue(3, os.path.join(tmp_path, "check"), capacity=256)
+    for _ in t.load(session):
+        pass
+    # every frame got a label map of the movie's (transposed) shape
+    for f in (1, 2, 3):
+        lab = t.get_labels(f)
+        assert lab is not None and lab.shape == (64, 64)
+
+
 def test_maintenance_fixups():
     import sys
     sys.path.insert(0, os.path.dirname(__file__))

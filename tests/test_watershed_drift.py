@@ -343,6 +343,47 @@ def test_watershed_batch_stacked_matches_per_frame():
     np.testing.assert_array_equal(got, want)
 
 
+def test_watershed_batch_chunked_matches_per_frame():
+    """When the full B-stack exceeds the VMEM cap, watershed_batch splits into
+    the largest fitting sub-stacks (lax.map of one Pallas launch each) — still
+    bit-identical to the per-frame path. The cap is shrunk via monkeypatch so
+    the B=4 128^2 stack overflows and chunks as 2x2."""
+    import importlib
+
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    WS = importlib.import_module("tissue_image_processing_tpu.ops.watershed")
+    orig_call = FP.pl.pallas_call
+    orig_sup = FP.pallas_flood_supported
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    def small_cap(shape):
+        H, W = shape
+        return orig_sup(shape) and H * W <= 3 * (128 + 16) * 128
+
+    frames = []
+    for s in (1, 4, 9, 11):
+        img = make_cell_image(128, 128, n_seeds=15, seed=s)
+        seg = np.where(img < 0.2 * img.max(), 0, img)
+        frames.append(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
+    batch = jnp.asarray(np.stack(frames))
+    want = np.stack([np.asarray(WS.watershed(batch[i], use_pallas=False))
+                     for i in range(4)])
+    FP.pl.pallas_call = interp_call
+    FP.pallas_flood_supported = small_cap
+    try:
+        got = np.asarray(WS.watershed_batch.__wrapped__(batch, use_pallas=True))
+    finally:
+        FP.pl.pallas_call = orig_call
+        FP.pallas_flood_supported = orig_sup
+        # the recursive sub-stack call goes through the JITTED watershed_batch
+        # — drop its cache so no interpret-mode trace leaks into other tests
+        WS.watershed_batch._clear_cache()
+    np.testing.assert_array_equal(got, want)
+
+
 def test_watershed_batch_xla_fallback_matches_per_frame():
     img = make_cell_image(96, 96, n_seeds=10, seed=2)
     seg = np.where(img < 0.2 * img.max(), 0, img)

@@ -77,13 +77,21 @@ def cmd_unet(args):
     shape = store.frame(0)[0, 0].shape
     pred = SegmentationPredictor(args.weights, (2,) + shape)
     frames = list(range(args.initial, (args.final or store.num_frames) + 1))
-    for f in frames:
-        img = store.frame(f - 1)[[args.atoh_channel, args.zo_channel], 0]
-        labels, hc = pred.predict(img.astype(np.float32))
-        tissue.set_labels(f, np.asarray(labels), reset_data=True)
-        tissue.calculate_frame_cellinfo(f)
-        print(f"unet-segmented frame {f}: {int(np.asarray(labels).max())} cells",
-              flush=True)
+    # frames go through the U-Net in batches of 8: XLA's conv tilings reach
+    # ~172 TF/s at B=8 vs ~116 TF/s at B=1 on v5e (probe_unet_batch.py), and
+    # the post-process floods as stacked Pallas launches (watershed_batch)
+    for g in range(0, len(frames), 8):
+        group = frames[g:g + 8]
+        imgs = np.stack([store.frame(f - 1)[[args.atoh_channel,
+                                             args.zo_channel], 0]
+                         for f in group]).astype(np.float32)
+        labels_b, hc_b = pred.predict_batch(jnp.asarray(imgs))
+        labels_b = np.asarray(labels_b)
+        for f, labels in zip(group, labels_b):
+            tissue.set_labels(f, labels, reset_data=True)
+            tissue.calculate_frame_cellinfo(f)
+            print(f"unet-segmented frame {f}: {int(labels.max())} cells",
+                  flush=True)
     _save_session(tissue, args)
 
 

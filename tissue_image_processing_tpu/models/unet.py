@@ -22,6 +22,24 @@ from flax import linen as nn
 __all__ = ["UNet", "build_unet", "fold_batchnorm"]
 
 
+def _auto_row_split(B: int, H: int) -> int:
+    """Row-split factor for the space-to-batch conv path.
+
+    XLA's conv tilings on v5e reach ~190 TF/s once the batch dimension is
+    >= 8 but only ~60-120 TF/s below it (probe_unet_batch.py / probe_s2b.py:
+    a 1024^2 256->128 conv runs 9.94 ms at B=1 vs 3.29 ms as B=8 x 128 rows).
+    The split pays a full-tensor halo-build copy (~2-4 ms at 1024^2), so it is
+    only profitable where the tiling gain is largest — the full-resolution
+    convs (1024 rows at B=1: 9.9 -> 7.3 ms measured for 256->128ch). Returns
+    the smallest S with B*S >= 8, S | H and H/S >= 128 rows per slice, else 1."""
+    if B >= 8:
+        return 1
+    S = -(-8 // B)
+    if H % S == 0 and H // S >= 128:
+        return S
+    return 1
+
+
 class _FusedConv(nn.Module):
     """nn.Conv-compatible conv (same param names/shapes/init) that feeds the
     MXU in ``dtype`` but accumulates in float32 (``preferred_element_type``).
@@ -30,13 +48,20 @@ class _FusedConv(nn.Module):
     conv that runs at 54 TF/s, while the same conv with an f32 accumulate +
     fused epilogue cast runs at 76-95 TF/s — the f32 accumulator output lets
     XLA pick a better conv tiling. The epilogue (bias, relu, BN affine) stays
-    in f32 and the caller casts back to ``dtype`` once per block."""
+    in f32 and the caller casts back to ``dtype`` once per block.
+
+    ``row_split=S > 1`` evaluates the SAME 3x3 conv space-to-batch: the rows
+    are cut into S slices with 1-row halos from the neighboring slices (zeros
+    at the outer edges, so the result is exactly the SAME-padded conv), and
+    the conv runs on the (B*S, H/S + 2, W, C) stack — small batches then hit
+    the fast >=8-batch conv tilings (see _auto_row_split)."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     dtype: Any = jnp.bfloat16
     kernel_init: Callable = nn.initializers.lecun_normal()
     padding: Any = "SAME"
+    row_split: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -45,6 +70,22 @@ class _FusedConv(nn.Module):
                             (kh, kw, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
+        S = self.row_split
+        if (S > 1 and self.kernel_size == (3, 3) and self.padding == "SAME"
+                and x.shape[1] % S == 0):
+            B, H, W, C = x.shape
+            h = H // S
+            xs = x.reshape(B, S, h, W, C)
+            zero = jnp.zeros((B, 1, 1, W, C), x.dtype)
+            above = jnp.concatenate([zero, xs[:, :-1, -1:]], axis=1)
+            below = jnp.concatenate([xs[:, 1:, :1], zero], axis=1)
+            xh = jnp.concatenate([above, xs, below], axis=2)
+            y = jax.lax.conv_general_dilated(
+                xh.reshape(B * S, h + 2, W, C).astype(self.dtype),
+                kernel.astype(self.dtype), (1, 1), ((0, 0), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            return y.reshape(B, H, W, self.features) + bias
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
             self.padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -88,12 +129,17 @@ class DoubleConv(nn.Module):
     filters: int
     dtype: Any = jnp.float32
     norm: str = "bn"
+    row_split: int = 1  # -1 = auto (per call shape), 1 = off, S > 1 = fixed
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        S = self.row_split
+        if S == -1:
+            S = _auto_row_split(x.shape[0], x.shape[1])
         for i in range(2):
             x = _FusedConv(self.filters, (3, 3), dtype=self.dtype,
                            kernel_init=nn.initializers.he_normal(),
+                           row_split=S,
                            name=f"Conv_{i}")(x)
             x = nn.relu(x)
             if self.norm == "bn":
@@ -114,6 +160,11 @@ class UNet(nn.Module):
     up_kind: "convt" (Keras Conv2DTranspose k3 s2) | "subpixel" (equivalent
     channel-packed conv + depth-to-space, see _subpixel_up) | "resize_conv"
     (nearest 2x resize + 3x3 conv — NOT weight-compatible, ablation only).
+    row_split: space-to-batch factor for the 3x3 convs (1 = off — the
+    measured default: the halo-build copies cost more than the conv-tiling
+    gain in-net, 42.0 -> 46.7 ms/frame at B=1 1024^2 even when restricted to
+    the full-res convs; -1 auto / S fixed remain as ablation knobs, exact to
+    the unsplit path; see _FusedConv and _auto_row_split).
     """
 
     depth: int = 3
@@ -123,6 +174,7 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     norm: str = "bn"
     up_kind: str = "convt"
+    row_split: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -130,11 +182,13 @@ class UNet(nn.Module):
         skips = []
         filters = [self.base_filters * (2 ** i) for i in range(self.depth)]
         for f in filters:
-            skip = DoubleConv(f, dtype=self.dtype, norm=self.norm)(x, train)
+            skip = DoubleConv(f, dtype=self.dtype, norm=self.norm,
+                              row_split=self.row_split)(x, train)
             skips.append(skip)
             x = nn.max_pool(skip, (2, 2), strides=(2, 2))
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = DoubleConv(filters[-1] * 2, dtype=self.dtype, norm=self.norm)(x, train)
+        x = DoubleConv(filters[-1] * 2, dtype=self.dtype, norm=self.norm,
+                       row_split=self.row_split)(x, train)
         for j, (f, skip) in enumerate(zip(reversed(filters), reversed(skips))):
             if self.up_kind == "convt":
                 x = _FusedConvTranspose(f, (3, 3), dtype=self.dtype,
@@ -148,7 +202,8 @@ class UNet(nn.Module):
                 x = _SubpixelUp(f, dtype=self.dtype)(x)
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-            x = DoubleConv(f, dtype=self.dtype, norm=self.norm)(x, train)
+            x = DoubleConv(f, dtype=self.dtype, norm=self.norm,
+                           row_split=self.row_split)(x, train)
         x = _FusedConv(self.num_classes, (1, 1), dtype=self.dtype,
                        name="Conv_0")(x)
         return nn.softmax(x.astype(jnp.float32), axis=-1)

@@ -50,8 +50,6 @@ def adjacency_matrix(
     a = dil.ravel()
     b = lab.ravel()
     valid = (b > 0) & (a != b)
-    if working_mask is not None:
-        valid = valid & working_mask[jnp.clip(a, 0, num_labels)]
     ns = num_labels + 1
     a = jnp.where(valid, a, 0)
     b = jnp.where(valid, b, 0)
@@ -60,6 +58,12 @@ def adjacency_matrix(
     adj = adj.at[flat_idx].set(True)
     adj = adj.at[0].set(False)
     adj = adj.reshape(ns, ns)
+    if working_mask is not None:
+        # row masking AFTER the scatter == filtering the pixel votes whose
+        # window-max label a is outside the mask (rows of the pre-symmetrized
+        # matrix ARE the a side), but costs a (N+1)^2 AND instead of a
+        # 1M-element per-pixel gather (+8.6 ms/frame measured at 1024^2)
+        adj = adj & working_mask[:, None]
     adj = adj | adj.T
     adj = adj.at[:, 0].set(False).at[0, :].set(False)
     # no self loops

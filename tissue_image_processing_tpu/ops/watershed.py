@@ -270,8 +270,10 @@ def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
     path: seeds are numbered in raster order, hence contiguous per frame, and a
     per-frame offset subtraction restores 1..N_k numbering.
 
-    Falls back to ``lax.map`` of the per-frame path when the stacked shape
-    exceeds the VMEM budget or off TPU.
+    When the full B-stack exceeds the VMEM budget, the batch is split into
+    the largest equal chunks whose sub-stacks still fit, ``lax.map``'ed over
+    one Pallas launch each (e.g. B=8 at 1024^2 runs as 2 launches of 4) —
+    only off TPU does it fall to the per-frame XLA sweep path.
     """
     B, H, W = images.shape
     if B == 1:
@@ -280,6 +282,7 @@ def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
                          minima_scan=minima_scan)[None]
     from tissue_image_processing_tpu.ops.flood_pallas import pallas_flood_supported
 
+    requested = use_pallas
     Wp = -(-W // 128) * 128
     slot = H + _STACK_SEP
     tail = (-(B * slot)) % 64
@@ -287,9 +290,22 @@ def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
     if use_pallas is None:
         use_pallas = _pallas_enabled((Hs, Wp))
     if not (use_pallas and pallas_flood_supported((Hs, Wp))):
+        on_tpu = (requested if requested is not None
+                  else jax.default_backend() == "tpu")
+        if on_tpu:
+            for pb in range(B - 1, 1, -1):
+                hs = pb * slot + ((-(pb * slot)) % 64)
+                if B % pb == 0 and pallas_flood_supported((hs, Wp)):
+                    out = jax.lax.map(
+                        lambda c: watershed_batch(
+                            c, watershed_line=watershed_line,
+                            use_pallas=requested, binary=binary,
+                            minima_scan=minima_scan),
+                        images.reshape(B // pb, pb, H, W))
+                    return out.reshape(B, H, W)
         return jax.lax.map(
             lambda im: watershed(im, watershed_line=watershed_line,
-                                 use_pallas=False, binary=binary,
+                                 use_pallas=requested, binary=binary,
                                  minima_scan=minima_scan), images)
     inf = jnp.float32(jnp.inf)
     fr = jnp.pad(images.astype(jnp.float32),
