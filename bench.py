@@ -343,6 +343,28 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
 
         return round(16 / _timed_loop(lambda: cfg3(variables, x8), 16), 2)
 
+    def run_cfg3q():
+        # OPTIONAL int8 inference path (models/quant.py): post-training
+        # per-channel weight + calibrated per-tensor activation quantization;
+        # v5e int8 MXU rate ~1.75x bf16 on the big convs, ~1.26x end-to-end.
+        # Reported separately — cfg3 stays the reference-faithful bf16 number.
+        from tissue_image_processing_tpu.models.quant import (quantize_unet,
+                                                              unet_int8_apply)
+        x8 = jnp.stack([projs[t % T] / jnp.maximum(projs[t % T].max(), 1.0)
+                        for t in range(8)])
+        x8 = jnp.stack([x8, x8], axis=-1)
+        q = quantize_unet(variables, x8[:2], depth=3)
+
+        @jax.jit
+        def cfg3q(q, x8):
+            def step(i, acc):
+                x = x8 + acc.astype(x8.dtype) * 1e-30
+                pred = unet_int8_apply(q, x, depth=3)
+                return acc + pred[0, 0, 0, 0].astype(jnp.float32) * 1e-20
+            return jax.lax.fori_loop(0, 2, step, jnp.float32(0))
+
+        return round(16 / _timed_loop(lambda: cfg3q(q, x8), 16), 2)
+
     def run_cfg4():
         # 100-frame time-lapse watershed + tracking (adaptive radii from the
         # warm pass's tables, like the product path)
@@ -492,6 +514,7 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
     for name, fn in [("1_watershed_512", run_cfg1),
                      ("2_projection_fps", run_cfg2),
                      ("3_unet_inference_fps", run_cfg3),
+                     ("3q_unet_int8_fps", run_cfg3q),
                      ("4_track100_fps", run_cfg4),
                      ("5_full_movie_fps", run_cfg5),
                      ("6_watershed_2048", run_cfg6)]:

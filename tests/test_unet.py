@@ -234,3 +234,63 @@ def test_unet_postprocess_batch_matches_per_frame():
                                       np.asarray(want[i][0]))
         np.testing.assert_array_equal(np.asarray(got[1][i]),
                                       np.asarray(want[i][1]))
+
+
+def test_quant_f32_twin_matches_model_apply():
+    """quant._forward reimplements the UNet(norm="shift") inference wiring;
+    the f32 twin must match model.apply exactly (same ops, same order)."""
+    from tissue_image_processing_tpu.models.quant import unet_f32_apply
+    from tissue_image_processing_tpu.models.unet import (UNet, build_unet,
+                                                         fold_batchnorm)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 64, 64, 2), np.float32))
+    _, variables = build_unet((64, 64, 2), depth=2, base_filters=8,
+                              dtype=jnp.float32)
+    folded = fold_batchnorm(variables, depth=2)
+    model = UNet(depth=2, base_filters=8, dtype=jnp.float32, norm="shift")
+    want = np.asarray(model.apply(folded, x, train=False))
+    got = np.asarray(unet_f32_apply(folded, x, depth=2))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_unet_close_to_float():
+    """int8 post-training quantization: probabilities within quantization
+    noise of the float forward on the calibration distribution."""
+    from tissue_image_processing_tpu.models.quant import (quantize_unet,
+                                                          unet_f32_apply,
+                                                          unet_int8_apply)
+    from tissue_image_processing_tpu.models.unet import (build_unet,
+                                                         fold_batchnorm)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 64, 64, 2), np.float32))
+    _, variables = build_unet((64, 64, 2), depth=2, base_filters=8,
+                              dtype=jnp.float32)
+    folded = fold_batchnorm(variables, depth=2)
+    q = quantize_unet(folded, x, depth=2)
+    want = np.asarray(unet_f32_apply(folded, x, depth=2))
+    got = np.asarray(unet_int8_apply(q, x, depth=2))
+    err = np.abs(got - want).mean()
+    assert err < 0.02, f"mean |dP| = {err:.4f}"
+    # same class argmax on the overwhelming majority of pixels
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.98, f"argmax agreement {agree:.4f}"
+
+
+def test_predictor_quantized_path():
+    """SegmentationPredictor(quantize=True) calibrates lazily and produces
+    probabilities (hence labels) close to the bf16/f32 path."""
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((2, 2, 60, 70)) * 50000).astype(np.float32)
+    kw = dict(depth=2, base_filters=8, dtype=jnp.float32)
+    p_f = SegmentationPredictor(None, imgs[0].shape, **kw)
+    p_q = SegmentationPredictor(None, imgs[0].shape, quantize=True, **kw)
+    assert p_q.quantize  # fold succeeded -> int8 path active
+    lf, hf = p_f.predict_batch(imgs)
+    lq, hq = p_q.predict_batch(imgs)
+    assert p_q._qparams is not None
+    # the HC masks (thresholded probabilities + morphology) must agree almost
+    # everywhere; label maps derive from them
+    agree = (np.asarray(hf) == np.asarray(hq)).mean()
+    assert agree > 0.97, f"HC mask agreement {agree:.4f}"

@@ -108,11 +108,13 @@ class SegmentationPredictor:
 
     def __init__(self, model_weights_path: Optional[str], image_shape,
                  depth: int = 3, base_filters: int = 128, dtype=jnp.bfloat16,
-                 variables=None, fold_bn: bool = True):
+                 variables=None, fold_bn: bool = True, quantize: bool = False):
         sy, sx = find_desired_shape(image_shape[-2], image_shape[-1])
         self.model_shape = (sx, sy, 2)  # x-major like the reference
         self.dtype = dtype
+        self.depth = depth
         self.model = UNet(depth=depth, base_filters=base_filters, dtype=dtype)
+        folded_ok = False
         if variables is None:
             _, variables = build_unet(self.model_shape, depth=depth,
                                       base_filters=base_filters, dtype=dtype)
@@ -124,8 +126,24 @@ class SegmentationPredictor:
                 self.model = UNet(depth=depth, base_filters=base_filters,
                                   dtype=dtype, norm="shift")
                 variables = folded
+                folded_ok = True
         self.variables = variables
+        # optional int8 path (models/quant.py): ~1.26x the bf16 forward on
+        # v5e; activation scales calibrate lazily on the first batch seen.
+        # Requires the folded (norm="shift") form.
+        self.quantize = quantize and folded_ok
+        self._qparams = None
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+
+    def _forward(self, batch):
+        if self.quantize:
+            from tissue_image_processing_tpu.models.quant import (
+                quantize_unet, unet_int8_apply)
+            if self._qparams is None:
+                self._qparams = quantize_unet(self.variables, batch,
+                                              depth=self.depth)
+            return unet_int8_apply(self._qparams, batch, depth=self.depth)
+        return self._apply(self.variables, batch)
 
     def prepare_image(self, image: np.ndarray):
         """(C, Y, X) -> front-padded (1, X', Y', C) model input
@@ -141,7 +159,7 @@ class SegmentationPredictor:
 
     def predict(self, image: np.ndarray):
         padded, npad = self.prepare_image(image)
-        pred = self._apply(self.variables, padded)
+        pred = self._forward(padded)
         unpadded = pred[0, npad[1][0]:, npad[2][0]:, :]
         labels, hc = unet_postprocess(unpadded)
         return labels, hc
@@ -153,7 +171,7 @@ class SegmentationPredictor:
         prepared = [self.prepare_image(i) for i in images]
         npad = prepared[0][1]
         batch = jnp.concatenate([p[0] for p in prepared], axis=0)
-        preds = self._apply(self.variables, batch)
+        preds = self._forward(batch)
         preds = preds[:, npad[1][0]:, npad[2][0]:, :]
         labels, hc = unet_postprocess_batch(preds)
         return labels, hc
