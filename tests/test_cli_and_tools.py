@@ -92,6 +92,35 @@ def test_cli_pipeline(tmp_path):
     assert "tissue" in seen and "df" in seen and len(seen["df"]) > 0
 
 
+def test_cli_fused_pipeline_matches_per_frame(tmp_path):
+    """`cli pipeline` (one fused device program, core/pipeline.py) must
+    reproduce the per-frame segment+track path: identical label maps and
+    identical track-id columns (the grid movie is static, so drift = 0 in
+    both paths)."""
+    from tissue_image_processing_tpu.cli import main
+    from tissue_image_processing_tpu.core.tissue import Tissue
+
+    movie = _grid_movie(tmp_path)
+    s1 = os.path.join(tmp_path, "p.seg")
+    s2 = os.path.join(tmp_path, "q.seg")
+    seg_flags = ["--capacity", "256", "--threshold", "0.3", "--std", "1.0",
+                 "--block-size", "21"]
+    assert main(["pipeline", movie, "--session", s1] + seg_flags) == 0
+    assert main(["segment", movie, "--session", s2] + seg_flags) == 0
+    assert main(["track", movie, "--session", s2, "--capacity", "256"]) == 0
+    ta = Tissue(3, os.path.join(tmp_path, "a"), capacity=256)
+    tb = Tissue(3, os.path.join(tmp_path, "b"), capacity=256)
+    for _ in ta.load(s1):
+        pass
+    for _ in tb.load(s2):
+        pass
+    for f in (1, 2, 3):
+        np.testing.assert_array_equal(ta.get_labels(f), tb.get_labels(f))
+        np.testing.assert_array_equal(
+            np.asarray(ta.get_cells_info(f).label),
+            np.asarray(tb.get_cells_info(f).label))
+
+
 def test_cli_unet_batched(tmp_path):
     """cmd_unet segments frames in predict_batch groups (reference
     UnetSegmentationThread gui.py:2055-2073 went one frame at a time)."""

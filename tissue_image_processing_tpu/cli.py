@@ -67,6 +67,49 @@ def cmd_segment(args):
     _save_session(tissue, args)
 
 
+def cmd_pipeline(args):
+    """Fused whole-movie run: proj -> watershed -> tables -> drift -> track in
+    ONE device program (core/pipeline.py), then populate the session — the
+    single-chip product form of the reference's segment-all + track workflow
+    (gui.py:1348-1376, 1590-1603) without its per-frame host round-trips."""
+    import dataclasses
+
+    import jax
+
+    from tissue_image_processing_tpu.core.pipeline import movie_pipeline
+
+    store = _load_movie(args.movie)
+    tissue = _open_session(args, store.num_frames)
+    import jax.numpy as jnp
+    movie = jnp.asarray(store.data)
+    out = movie_pipeline(
+        movie, reference_channel=args.channel, threshold=args.threshold,
+        std=args.std, block_size=args.block_size, capacity=args.capacity,
+        batch=args.batch, search_range=args.search_range, memory=args.memory)
+    labels = np.asarray(out["labels"])
+    ids = out["ids"]
+    tabs = out["tables"]
+    for i in range(store.num_frames):
+        f = i + 1
+        tissue.set_labels(f, labels[i], reset_data=True)
+        t = jax.tree_util.tree_map(lambda x: x[i], tabs)
+        mask = np.asarray(t.valid_mask())
+        new_label = np.where(mask, ids[i], np.asarray(t.label))
+        tissue.set_cells_info(f, dataclasses.replace(
+            t, label=jnp.asarray(new_label.astype(np.int32))))
+    tissue.drifts[:store.num_frames] = out["drifts"]
+    tissue.cells_number = int(ids.max())
+    n_tracked = int((ids > 0).any(0).sum())
+    print(f"pipeline: {store.num_frames} frames, "
+          f"{int((ids[0] > 0).sum())} cells in frame 1, "
+          f"{n_tracked} tracks", flush=True)
+    if args.events:
+        for _ in tissue.find_events_iterator(1, store.num_frames):
+            pass
+        print(f"events: {len(tissue.events)} found", flush=True)
+    _save_session(tissue, args)
+
+
 def cmd_unet(args):
     import jax.numpy as jnp
 
@@ -217,6 +260,26 @@ def build_parser():
     sp.add_argument("--initial", type=int, default=1)
     sp.add_argument("--final", type=int, default=0)
     sp.set_defaults(fn=cmd_segment)
+
+    sp = sub.add_parser("pipeline",
+                        help="fused whole-movie proj->segment->track run")
+    sp.add_argument("movie")
+    sp.add_argument("--session", default=None)
+    sp.add_argument("--config", default=None,
+                    help="PipelineConfig JSON; CLI flags override its values")
+    sp.add_argument("--capacity", type=int, default=None)
+    sp.add_argument("--channel", type=int, default=0)
+    sp.add_argument("--threshold", type=float, default=None)
+    sp.add_argument("--std", type=float, default=None)
+    sp.add_argument("--block-size", dest="block_size", type=int, default=None)
+    sp.add_argument("--batch", type=int, default=2,
+                    help="frames per stacked flood launch")
+    sp.add_argument("--search-range", dest="search_range", type=float,
+                    default=100.0)
+    sp.add_argument("--memory", type=int, default=3)
+    sp.add_argument("--events", action="store_true",
+                    help="run event detection after tracking")
+    sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("unet", help="U-Net segmentation")
     sp.add_argument("movie")
