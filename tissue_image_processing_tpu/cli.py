@@ -118,7 +118,8 @@ def cmd_unet(args):
     store = _load_movie(args.movie)
     tissue = _open_session(args, store.num_frames)
     shape = store.frame(0)[0, 0].shape
-    pred = SegmentationPredictor(args.weights, (2,) + shape)
+    pred = SegmentationPredictor(args.weights, (2,) + shape,
+                                 quantize=args.quantize)
     frames = list(range(args.initial, (args.final or store.num_frames) + 1))
     # frames go through the U-Net in batches of 8: XLA's conv tilings reach
     # ~172 TF/s at B=8 vs ~116 TF/s at B=1 on v5e (probe_unet_batch.py), and
@@ -292,6 +293,9 @@ def build_parser():
     sp.add_argument("--zo-channel", dest="zo_channel", type=int, default=1)
     sp.add_argument("--initial", type=int, default=1)
     sp.add_argument("--final", type=int, default=0)
+    sp.add_argument("--quantize", action="store_true",
+                    help="int8 inference path (models/quant.py; ~1.26x faster "
+                         "forward, output within quantization noise)")
     sp.set_defaults(fn=cmd_unet)
 
     sp = sub.add_parser("types", help="classify cell types by marker channel")
