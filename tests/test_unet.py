@@ -294,3 +294,34 @@ def test_predictor_quantized_path():
     # everywhere; label maps derive from them
     agree = (np.asarray(hf) == np.asarray(hq)).mean()
     assert agree > 0.97, f"HC mask agreement {agree:.4f}"
+
+
+def test_row_split_conv_exact():
+    """The space-to-batch halo conv (_FusedConv row_split) must equal the
+    unsplit SAME conv exactly, for fixed S and auto mode, and
+    _auto_row_split must search past non-dividing candidates."""
+    from tissue_image_processing_tpu.models.unet import (DoubleConv,
+                                                         _auto_row_split)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 256, 256, 2), np.float32))
+    dc = DoubleConv(8, dtype=jnp.float32, norm="none", row_split=1)
+    v = dc.init(jax.random.PRNGKey(0), x, train=False)
+    want = dc.apply(v, x, train=False)
+    for rs in (8, -1):
+        got = DoubleConv(8, dtype=jnp.float32, norm="none",
+                         row_split=rs).apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+    # batched input too (B=2 -> auto S=4 at H=512)
+    xb = jnp.asarray(rng.random((2, 512, 256, 2), np.float32))
+    vb = dc.init(jax.random.PRNGKey(1), xb, train=False)
+    want_b = dc.apply(vb, xb, train=False)
+    got_b = DoubleConv(8, dtype=jnp.float32, norm="none",
+                       row_split=-1).apply(vb, xb, train=False)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               atol=1e-5, rtol=1e-5)
+    assert _auto_row_split(1, 1024) == 8
+    assert _auto_row_split(3, 1024) == 4   # 3 does not divide 1024 -> next S
+    assert _auto_row_split(8, 1024) == 1   # batch already saturates tilings
+    assert _auto_row_split(1, 384) == 1    # no S with >= 128 rows per slice

@@ -345,9 +345,10 @@ def test_watershed_batch_stacked_matches_per_frame():
 
 def test_watershed_batch_chunked_matches_per_frame():
     """When the full B-stack exceeds the VMEM cap, watershed_batch splits into
-    the largest fitting sub-stacks (lax.map of one Pallas launch each) — still
+    the largest fitting sub-stacks (lax.map of one Pallas launch each, plus a
+    smaller stacked remainder launch for non-divisor chunk sizes) — still
     bit-identical to the per-frame path. The cap is shrunk via monkeypatch so
-    the B=4 128^2 stack overflows and chunks as 2x2."""
+    the B=5 128^2 stack overflows and chunks as 3+2."""
     import importlib
 
     import tissue_image_processing_tpu.ops.flood_pallas as FP
@@ -364,13 +365,13 @@ def test_watershed_batch_chunked_matches_per_frame():
         return orig_sup(shape) and H * W <= 3 * (128 + 16) * 128
 
     frames = []
-    for s in (1, 4, 9, 11):
+    for s in (1, 4, 9, 11, 13):
         img = make_cell_image(128, 128, n_seeds=15, seed=s)
         seg = np.where(img < 0.2 * img.max(), 0, img)
         frames.append(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
     batch = jnp.asarray(np.stack(frames))
     want = np.stack([np.asarray(WS.watershed(batch[i], use_pallas=False))
-                     for i in range(4)])
+                     for i in range(5)])
     FP.pl.pallas_call = interp_call
     FP.pallas_flood_supported = small_cap
     try:

@@ -88,13 +88,15 @@ def cmd_pipeline(args):
         batch=args.batch, search_range=args.search_range, memory=args.memory)
     labels = np.asarray(out["labels"])
     ids = out["ids"]
-    tabs = out["tables"]
+    # ONE stacked device->host conversion for all tables: per-frame reads
+    # would cost ~27 ms each through a dev tunnel (bench.py methodology)
+    tabs = jax.tree_util.tree_map(np.asarray, out["tables"])
+    masks = tabs.valid_mask()  # pure numpy once converted
     for i in range(store.num_frames):
         f = i + 1
         tissue.set_labels(f, labels[i], reset_data=True)
         t = jax.tree_util.tree_map(lambda x: x[i], tabs)
-        mask = np.asarray(t.valid_mask())
-        new_label = np.where(mask, ids[i], np.asarray(t.label))
+        new_label = np.where(masks[i], ids[i], t.label)
         tissue.set_cells_info(f, dataclasses.replace(
             t, label=jnp.asarray(new_label.astype(np.int32))))
     tissue.drifts[:store.num_frames] = out["drifts"]
@@ -275,9 +277,10 @@ def build_parser():
     sp.add_argument("--block-size", dest="block_size", type=int, default=None)
     sp.add_argument("--batch", type=int, default=2,
                     help="frames per stacked flood launch")
+    # None defaults so _apply_config can resolve CLI > config > builtin
     sp.add_argument("--search-range", dest="search_range", type=float,
-                    default=100.0)
-    sp.add_argument("--memory", type=int, default=3)
+                    default=None)
+    sp.add_argument("--memory", type=int, default=None)
     sp.add_argument("--events", action="store_true",
                     help="run event detection after tracking")
     sp.set_defaults(fn=cmd_pipeline)

@@ -132,6 +132,12 @@ class SegmentationPredictor:
         # v5e; activation scales calibrate lazily on the first batch seen.
         # Requires the folded (norm="shift") form.
         self.quantize = quantize and folded_ok
+        if quantize and not folded_ok:
+            import warnings
+            warnings.warn(
+                "quantize=True requires the folded-BatchNorm form "
+                "(fold_bn=True and all BN gammas > 0); falling back to the "
+                "bf16 path", stacklevel=2)
         self._qparams = None
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
 

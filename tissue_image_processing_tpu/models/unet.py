@@ -34,9 +34,9 @@ def _auto_row_split(B: int, H: int) -> int:
     the smallest S with B*S >= 8, S | H and H/S >= 128 rows per slice, else 1."""
     if B >= 8:
         return 1
-    S = -(-8 // B)
-    if H % S == 0 and H // S >= 128:
-        return S
+    for S in range(-(-8 // B), H // 128 + 1):
+        if H % S == 0 and H // S >= 128:
+            return S
     return 1
 
 

@@ -295,14 +295,23 @@ def watershed_batch(images: jnp.ndarray, watershed_line: bool = True,
         if on_tpu:
             for pb in range(B - 1, 1, -1):
                 hs = pb * slot + ((-(pb * slot)) % 64)
-                if B % pb == 0 and pallas_flood_supported((hs, Wp)):
-                    out = jax.lax.map(
-                        lambda c: watershed_batch(
-                            c, watershed_line=watershed_line,
-                            use_pallas=requested, binary=binary,
-                            minima_scan=minima_scan),
-                        images.reshape(B // pb, pb, H, W))
-                    return out.reshape(B, H, W)
+                if not pallas_flood_supported((hs, Wp)):
+                    continue
+                # largest fitting chunk; a non-divisor pb leaves a smaller
+                # remainder chunk (its own stacked launch) so prime batch
+                # sizes (e.g. B=7 -> 4+3) still amortize sweeps instead of
+                # degrading to B single-frame launches
+                n_full, rem = divmod(B, pb)
+                sub = functools.partial(
+                    watershed_batch, watershed_line=watershed_line,
+                    use_pallas=requested, binary=binary,
+                    minima_scan=minima_scan)
+                out = jax.lax.map(
+                    sub, images[:n_full * pb].reshape(n_full, pb, H, W)
+                ).reshape(n_full * pb, H, W)
+                if rem:
+                    out = jnp.concatenate([out, sub(images[n_full * pb:])], 0)
+                return out
         return jax.lax.map(
             lambda im: watershed(im, watershed_line=watershed_line,
                                  use_pallas=requested, binary=binary,
