@@ -431,7 +431,11 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
             prj, cys, cxs, areas, masks, nn = (
                 prj[:, 0], tabs.cy, tabs.cx, tabs.area, tabs.valid_mask(),
                 tabs.n_neighbors)
-            drifts = compute_drift_chain(prj)
+            # the U-Net labels (and hence cy/cx) live in the reference's
+            # x-major space while the drift chain measures the (Y, X)
+            # projection; a transposed image's phase shift is the swapped
+            # component pair, so swap columns to (dx', dy') to match
+            drifts = compute_drift_chain(prj)[:, ::-1]
             ids = track_movie(cys, cxs, areas, masks, drifts=drifts,
                               capacity=2 * cap, search_ranges=ranges)
             n_valid = masks.sum(1)

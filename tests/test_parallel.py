@@ -86,11 +86,17 @@ def test_sharded_pipeline_uneven_frames_per_device():
 def test_sharded_unet_pipeline_matches_single_device():
     """VERDICT r2 item 6: the U-Net variant (proj -> UNet -> postprocess ->
     track) sharded over the frame mesh matches the single-device chain exactly
-    (weights replicated, per-frame tensors frame-sharded)."""
+    (weights replicated, per-frame tensors frame-sharded).
+
+    Frames are deliberately NON-square and NON-pow2 (48 x 40): the pipeline
+    must mirror SegmentationPredictor.prepare_image — x-major transpose +
+    front-pad to the next power of two — or the up-path skip concatenations
+    fail at trace time and trained weights would see transposed images."""
     from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
     from tissue_image_processing_tpu.core.tracking import (
         compute_drift_chain, track_movie)
-    from tissue_image_processing_tpu.models.predictor import unet_postprocess
+    from tissue_image_processing_tpu.models.predictor import (
+        find_desired_shape, unet_postprocess)
     from tissue_image_processing_tpu.models.unet import build_unet
     from tissue_image_processing_tpu.ops.brightness import normalize_channel
     from tissue_image_processing_tpu.parallel.pipeline import (
@@ -98,9 +104,10 @@ def test_sharded_unet_pipeline_matches_single_device():
     from tissue_image_processing_tpu.projection.surface import (
         time_point_surface_projection)
 
-    T, cap = 8, 64
-    movie = _tiny_movie(T)
-    model, variables = build_unet((64, 64, 2), depth=2, base_filters=8)
+    T, cap, H, W = 8, 64, 48, 40
+    movie = _tiny_movie(T, H=H, W=W)
+    model, variables = build_unet(find_desired_shape(W, H) + (2,),
+                                  depth=2, base_filters=8)
     mesh = make_frame_mesh(8)
     pipe = sharded_unet_pipeline(mesh, model, capacity=cap)
     ids_sharded = np.asarray(pipe(variables, movie))
@@ -110,10 +117,13 @@ def test_sharded_unet_pipeline_matches_single_device():
         proj, _ = time_point_surface_projection(
             stack, reference_channel=0, airyscan=False)
         norm = jax.vmap(normalize_channel)(proj)
-        x = jnp.transpose(norm, (1, 2, 0))
-        pred = model.apply(variables, x[None], train=False)[0]
+        x_major = jnp.transpose(norm)                  # (X, Y, C)
+        px, py = find_desired_shape(W, H)
+        padded = jnp.pad(x_major, ((px - W, 0), (py - H, 0), (0, 0)))
+        pred = model.apply(variables, padded[None], train=False)[0]
+        pred = pred[px - W:, py - H:, :]
         labels, _hc = unet_postprocess(pred.astype(jnp.float32))
-        table = frame_cellinfo(labels, capacity=cap)
+        table = frame_cellinfo(labels.T, capacity=cap)  # back to (Y, X)
         return proj[0], table.cy, table.cx, table.area, table.valid_mask()
 
     projs, cy, cx, area, mask = jax.lax.map(one_frame, movie)

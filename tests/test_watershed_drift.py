@@ -692,3 +692,92 @@ def test_watershed_binary_with_markers_runs_real_flood():
     # unmarked zero CCs must have been flooded by a marked neighbor (no voids
     # beyond the watershed lines' 1-px web)
     assert (np.asarray(got) > 0).sum() > (np.asarray(mk) > 0).sum()
+
+
+def test_binary_all_c_frame_matches_general():
+    """A degenerate zero-free boundary map (all-c frame) is ONE regional
+    minimum under the general semantics (a c-plateau with no lower neighbor);
+    binary=True must seed it rather than settle the frame void."""
+    allc = jnp.full((64, 128), 1.0, jnp.float32)
+    want = np.asarray(watershed(allc, use_pallas=False))
+    got = np.asarray(watershed(allc, use_pallas=False, binary=True))
+    np.testing.assert_array_equal(got, want)
+    assert got.max() == 1 and (got > 0).all()
+
+    # mixed batch (XLA per-frame fallback): a normal boundary map + an all-c
+    # frame; each frame must match its own general-path labels
+    bnd = np.asarray(_boundary_map(n=64, seed=7))
+    batch = jnp.asarray(np.stack([bnd, np.ones_like(bnd)]))
+    got_b = np.asarray(watershed_batch(batch, use_pallas=False, binary=True))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            got_b[i], np.asarray(watershed(batch[i], use_pallas=False)))
+
+
+def test_binary_all_c_frame_in_pallas_stack():
+    """Same degenerate all-c frame through the STACKED Pallas batch path
+    (interpret mode): the per-row-segment zero-presence logic must scope the
+    'no zeros' test to each frame between the +inf separator bands — the
+    normal frame keeps its zero-set seeds while the all-c frame becomes one
+    plateau seed."""
+    import importlib
+
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    WS = importlib.import_module("tissue_image_processing_tpu.ops.watershed")
+
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    bnd = np.asarray(_boundary_map(n=64, seed=9))
+    batch = jnp.asarray(np.stack([bnd, np.ones_like(bnd), bnd]))
+    want = np.stack([np.asarray(WS.watershed(batch[i], use_pallas=False))
+                     for i in range(3)])
+    FP.pl.pallas_call = interp_call
+    try:
+        got = np.asarray(WS.watershed_batch.__wrapped__(batch, use_pallas=True,
+                                                        binary=True))
+    finally:
+        FP.pl.pallas_call = orig_call
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_settle_label_overflow_falls_back():
+    """Labels past the packed word's 21-bit field (reachable: checkerboard
+    minima are H*W/2 dense 4-CC ranks at 2048^2-class shapes) must route to
+    the unpacked settle at runtime, not silently corrupt the stamp bits."""
+    import tissue_image_processing_tpu.ops.flood_pallas as FP
+    from tissue_image_processing_tpu.ops.watershed import regional_minima_labels
+
+    orig_call = FP.pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    img = make_cell_image(128, 128, n_seeds=12, seed=5)
+    seg = np.where(img < 0.2 * img.max(), 0, img)
+    b = jnp.asarray(ndi.gaussian_filter(seg.astype(np.float32), 3.0))
+    FP.pl.pallas_call = interp_call
+    try:
+        seeds = regional_minima_labels(b, use_pallas=True)
+        lam = FP.bf_flood_pallas.__wrapped__(b, seeds)
+        # shift every positive label past 2^21: enc = lbl + 2 no longer fits
+        # the packed word's low bits, so the runtime guard must take over
+        big = jnp.where(seeds > 0, seeds + (1 << 21), 0)
+        l_ref, t_ref = FP.settle_pallas.__wrapped__(lam, big,
+                                                    dense_labels=False)
+        l_got, t_got = FP.settle_pallas.__wrapped__(lam, big,
+                                                    dense_labels=True)
+        np.testing.assert_array_equal(np.asarray(l_got), np.asarray(l_ref))
+        np.testing.assert_array_equal(np.asarray(t_got), np.asarray(t_ref))
+        assert int(np.asarray(l_got).max()) > (1 << 21)  # big labels survived
+        # and the guard must NOT fire for in-range dense labels (packed path)
+        l_s, t_s = FP.settle_pallas.__wrapped__(lam, seeds, dense_labels=True)
+        l_u, t_u = FP.settle_pallas.__wrapped__(lam, seeds, dense_labels=False)
+        np.testing.assert_array_equal(np.asarray(l_s), np.asarray(l_u))
+        np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_u))
+    finally:
+        FP.pl.pallas_call = orig_call

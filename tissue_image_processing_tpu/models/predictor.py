@@ -60,8 +60,12 @@ def unet_postprocess(predictions: jnp.ndarray, hc_threshold: float = 0.1,
     # trivial copy; optimization_barrier/bitcast/pad/transpose do NOT block
     # it). A dot has its own layout preference and is the one op measured to
     # stop the propagation; identity-matmul is exact (x*1 + 0-products) and
-    # costs ~10 us on the MXU.
-    p0 = p0 @ jnp.eye(p0.shape[-1], dtype=p0.dtype)
+    # costs ~10 us on the MXU. Precision must be HIGHEST: the default matmul
+    # precision rounds f32 operands to bf16 on TPU, and a probability rounded
+    # ACROSS hc_threshold would flip the mask pixel (bf16x3 decomposes each
+    # f32 operand exactly, and x*1 + 0-sums accumulate exactly in f32).
+    p0 = jnp.matmul(p0, jnp.eye(p0.shape[-1], dtype=p0.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
     hc_b = p0 > hc_threshold
     closed = binary_closing(hc_b, closing_kernel)
     hc = binary_erosion(closed, erosion_kernel)
@@ -91,7 +95,8 @@ def unet_postprocess_batch(predictions: jnp.ndarray, hc_threshold: float = 0.1,
     bit-identical to per-frame :func:`unet_postprocess`.
     """
     p0 = predictions[..., 0]
-    p0 = p0 @ jnp.eye(p0.shape[-1], dtype=p0.dtype)  # layout firewall (above)
+    p0 = jnp.matmul(p0, jnp.eye(p0.shape[-1], dtype=p0.dtype),
+                    precision=jax.lax.Precision.HIGHEST)  # layout firewall (above)
     hc_b = p0 > hc_threshold
     closed = jax.vmap(lambda b: binary_closing(b, closing_kernel))(hc_b)
     hc = jax.vmap(lambda b: binary_erosion(b, erosion_kernel))(closed)

@@ -795,10 +795,13 @@ def _settle_math(mask, lbl, up, dn, left=None, right=None):
 # the high 10 bits hold the arrival stamp, with t = _PACK_T_BIG the
 # "never settled" sentinel (bit 31 stays 0, so i32 compares/shifts are safe).
 # enc order == label order (constant bias), so the donor min/max/conflict
-# logic runs directly on enc values. Applicability: labels must fit 21 bits —
-# guaranteed STATICALLY when seeds come from regional_minima_labels (dense
-# raster ranks <= H*W/4 + 1 <= 1.12M < 2^21-3 at every pallas-supported
-# shape); watershed() passes dense_labels=False for user-supplied markers.
+# logic runs directly on enc values. Applicability: labels must fit 21 bits.
+# Dense raster ranks from regional_minima_labels usually do, but the worst
+# case is H*W/2 (a checkerboard: every other pixel a separate 4-CC minimum)
+# = 2.10M at 2048^2 and 2.23M at the 4352x1024 stacked cap — both past
+# 2^21-3, so the bound is enforced at RUNTIME: settle_pallas_loop checks
+# seeds.max() and routes oversized label sets to the unpacked kernels via
+# lax.cond. watershed() passes dense_labels=False for user-supplied markers.
 # Stamps must fit 10 bits: the packed tail stops at sweep 1022 and reports
 # convergence; the (pathological: needs a ~H+W-long monotone chain, never hit
 # by real tissue frames) unconverged case falls back to the unpacked settle
@@ -1432,12 +1435,14 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
     at square production shapes — see _CBLOCK note). Also
     bit-identity-invariant.
 
-    ``dense_labels``: STATIC promise that seed label values fit 21 bits
-    (true for dense raster ranks from ``regional_minima_labels`` at every
-    supported shape) — routes the 1D path through the packed single-word
-    kernels (~40% less VMEM sweep traffic, see the _PACK_* note), with a
-    lax.cond fallback to the unpacked kernels in the pathological
-    >1022-sweep case. Output is bit-identical either way."""
+    ``dense_labels``: hint that seed labels are dense raster ranks — routes
+    the 1D path through the packed single-word kernels (~40% less VMEM sweep
+    traffic, see the _PACK_* note). Both packed-capacity hazards are guarded
+    at runtime with lax.cond fallbacks to the unpacked kernels: labels past
+    2^21-3 (possible — a checkerboard's minima are H*W/2 separate 4-CCs) are
+    detected from seeds.max() BEFORE any packed sweep runs, and the
+    pathological >1022-sweep case (needs a ~H+W-long monotone chain) is
+    detected after. Output is bit-identical either way."""
     H, W = lam.shape
     assert sweep_batch <= block and H % block == 0
     if cblock is None:
@@ -1465,24 +1470,32 @@ def settle_pallas_loop(lam: jnp.ndarray, seeds: jnp.ndarray,
     if not dense_labels or cblock:
         return _unpacked()
 
-    w0 = jnp.where(seeds > 0, lbl0 + 2,
-                   jnp.int32((_PACK_T_BIG << _PACK_SHIFT) | 2))
-    it_start = 1
-    if bulk_sweeps > 0:
-        w0 = _settle_bulk_call_packed(mask, w0, _bulk_block_for(H),
-                                      bulk_sweeps)
-        it_start = bulk_sweeps + 1
-    w, ok = _settle_tail_call_packed(mask, w0, block, sweep_batch, it_start)
+    def _packed(_):
+        w0 = jnp.where(seeds > 0, lbl0 + 2,
+                       jnp.int32((_PACK_T_BIG << _PACK_SHIFT) | 2))
+        it_start = 1
+        if bulk_sweeps > 0:
+            w0 = _settle_bulk_call_packed(mask, w0, _bulk_block_for(H),
+                                          bulk_sweeps)
+            it_start = bulk_sweeps + 1
+        w, ok = _settle_tail_call_packed(mask, w0, block, sweep_batch,
+                                         it_start)
 
-    def _unpack(_):
-        enc = w & _PACK_ENC_MASK
-        t = w >> _PACK_SHIFT
-        return enc - 2, jnp.where(t == _PACK_T_BIG, big_t, t)
+        def _unpack(_):
+            enc = w & _PACK_ENC_MASK
+            t = w >> _PACK_SHIFT
+            return enc - 2, jnp.where(t == _PACK_T_BIG, big_t, t)
 
-    def _stamp_overflow(_):
-        return _unpacked()
+        def _stamp_overflow(_):
+            return _unpacked()
 
-    return jax.lax.cond(ok[0, 0] > 0, _unpack, _stamp_overflow, 0)
+        return jax.lax.cond(ok[0, 0] > 0, _unpack, _stamp_overflow, 0)
+
+    # labels past 21 bits would overflow into the stamp field — possible at
+    # supported shapes (see the _PACK_* note: checkerboard minima are H*W/2
+    # dense ranks), so check BEFORE any packed sweep touches the state
+    fits = jnp.max(seeds) <= jnp.int32(_PACK_ENC_MASK - 2)
+    return jax.lax.cond(fits, _packed, lambda _: _unpacked(), 0)
 
 
 settle_pallas = settle_pallas_loop

@@ -88,7 +88,9 @@ def regional_minima_labels(image: jnp.ndarray,
     zero plateau is then a regional minimum (0 is the global min, so no lower
     neighbor exists) and none can escape (an escape needs an equal-valued
     non-candidate neighbor, but every zero pixel is a candidate), so minima
-    are exactly the 4-connected components of the zero set. This skips the
+    are exactly the 4-connected components of the zero set — plus, for a
+    degenerate zero-free frame, its whole finite region (see the inline
+    note). This skips the
     min8/escaping-plateau machinery whose "bad"-flag diffusion must otherwise
     traverse the image-spanning positive band of a dilated boundary map
     (measured 12.3 ms -> 2.1 ms at 1024^2 on the unet_postprocess boundary).
@@ -97,6 +99,22 @@ def regional_minima_labels(image: jnp.ndarray,
     inf = jnp.float32(jnp.inf)
     if binary:
         candidate = img == 0
+        # A frame with NO zeros at all (a degenerate boundary map that is
+        # all-c) is itself one regional minimum under the general semantics:
+        # a c-plateau with no lower neighbor. Within one rectangular frame
+        # this is the ONLY such case — any c-component coexisting with zeros
+        # in the same rectangle is 8-adjacent to some zero (its in-rectangle
+        # complement is the zero set) and hence escapes. Frames are bounded
+        # by all-inf separator/pad ROWS (watershed_batch bands, bottom pad),
+        # so detect "has a zero" per row-segment and seed the whole finite
+        # region of zero-free segments.
+        finite = img < inf
+        finite_row = finite.any(axis=1)
+        zero_row = candidate.any(axis=1)
+        seg_id = jnp.cumsum((~finite_row).astype(jnp.int32))
+        seg_any = (jnp.zeros((img.shape[0] + 1,), jnp.int32)
+                   .at[seg_id].max(zero_row.astype(jnp.int32)))
+        candidate = candidate | (finite & (seg_any[seg_id] == 0)[:, None])
         bad = jnp.zeros(img.shape, bool)
     else:
         # separable 8-neighbor min: row-min3, then rows above/below contribute
@@ -162,7 +180,8 @@ def regional_minima_labels(image: jnp.ndarray,
         # jnp.cumsum to reduce_window/log-passes on the VPU (the 2-level
         # cumsum form measured 6.2 ms at 2048^2 in isolation), while an
         # (H, W) @ (W, W) f32 matmul is ~0.3 ms and counts stay exact in f32
-        # (row counts <= W, total roots <= H*W/4 < 2^24)
+        # (row counts <= W, total roots <= H*W/2 < 2^24 even at the
+        # checkerboard worst case)
         tri = jnp.tril(jnp.ones((W, W), jnp.float32)).T  # tri[j, i] = j <= i
         rootf = is_root.astype(jnp.float32)
         row = jnp.dot(rootf, tri, preferred_element_type=jnp.float32)
@@ -208,7 +227,9 @@ def watershed(image: jnp.ndarray, markers: jnp.ndarray | None = None,
 
     ``binary``: promise that ``image`` is a {0, c} boundary map (c > 0 constant;
     +inf pad bands allowed). Seeds are then the 4-connected components of the
-    zero set (see ``regional_minima_labels(binary=True)``) and the Bellman-Ford
+    zero set (plus the whole finite region of a degenerate zero-free frame,
+    which is its own regional minimum — see ``regional_minima_labels``) and
+    the Bellman-Ford
     flood phase is skipped entirely: the minimax path level lam(p) equals
     img(p) exactly — a zero pixel reaches its own seed at level 0, and any
     path from a positive pixel peaks at c (the only positive value), so
@@ -339,9 +360,11 @@ def _watershed_core(image: jnp.ndarray, markers: jnp.ndarray | None,
     img = image.astype(jnp.float32)
     inf = jnp.float32(jnp.inf)
 
-    # dense raster ranks from regional_minima_labels are statically <= H*W/4+1
-    # < 2^21-3 at every pallas-supported shape -> packed settle is safe; user
-    # markers carry arbitrary values -> unpacked (flood_pallas _PACK_* note)
+    # dense raster ranks from regional_minima_labels are USUALLY small, but
+    # the worst case is H*W/2 (checkerboard minima) — past the packed
+    # settle's 21-bit label field — so settle_pallas guards seeds.max() at
+    # runtime and falls back to the unpacked kernels (flood_pallas _PACK_*
+    # note); user markers carry arbitrary values -> unpacked always
     dense_labels = markers is None
     if markers is None:
         markers = regional_minima_labels(img, use_pallas=use_pallas,

@@ -142,14 +142,28 @@ def sharded_unet_pipeline(
     n = mesh.shape["frame"]
     track_cap = track_capacity or 2 * capacity
 
+    from tissue_image_processing_tpu.models.predictor import find_desired_shape
+
     def one_frame(variables, stack):
         stack = stack.astype(jnp.float32)
         proj, _ = time_point_surface_projection(
             stack, reference_channel=reference_channel, airyscan=airyscan)
-        norm = jax.vmap(normalize_channel)(proj)       # (C, H, W) in [0, 1]
-        x = jnp.transpose(norm, (1, 2, 0))             # NHWC for the convs
-        pred = model.apply(variables, x[None], train=False)[0]
+        norm = jax.vmap(normalize_channel)(proj)       # (C, Y, X) in [0, 1]
+        # mirror SegmentationPredictor.prepare_image exactly: the net is
+        # trained/imported on x-major inputs and pow2 spatial sizes
+        # (reference prediction_local.py:90-122) — feeding it the raw y-major
+        # frame would transpose the image under trained weights, and non-pow2
+        # sizes break the up-path skip concatenations
+        x_major = jnp.transpose(norm)                  # (X, Y, C)
+        sx, sy = x_major.shape[0], x_major.shape[1]
+        px, py = find_desired_shape(sx, sy)
+        padded = jnp.pad(x_major, ((px - sx, 0), (py - sy, 0), (0, 0)))
+        pred = model.apply(variables, padded[None], train=False)[0]
+        pred = pred[px - sx:, py - sy:, :]
         labels, _hc = unet_postprocess(pred.astype(jnp.float32))
+        # back to (Y, X) so centroids pair with the (dy, dx) drift tail and
+        # the output space matches sharded_movie_pipeline's watershed tables
+        labels = labels.T
         table = frame_cellinfo(labels, capacity=capacity)
         return (proj[reference_channel], table.cy, table.cx, table.area,
                 table.valid_mask())
