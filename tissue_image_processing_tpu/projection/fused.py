@@ -282,7 +282,12 @@ def fused_projection(image: jnp.ndarray, reference_channel: int = 0,
     # p95 of the positive pixels from a 4x4 spatial subsample (30x1024^2 -> 2M
     # samples; the full-volume order statistic differs by O(1e-2) percentile
     # noise, far below the clip's effect on the smoothed score)
-    sub = ref[:, ::4, ::4].astype(jnp.float32)
+    # whole-ROW subsample, NOT ::4 on x: element-strided gathers crawl on TPU
+    # (the ::4,::4 grid cost ~0.8 ms/frame; contiguous rows ~0.05 — the
+    # bisection itself is only ~0.2 ms, probe_p95.py). Rows are spatially
+    # representative across planes; estimator noise is the same O(1e-2)
+    # percentile class as any 2M-of-31M subsample.
+    sub = ref[:, ::16, :].astype(jnp.float32)
     if off:
         sub = jnp.maximum(sub - off, 0.0)
     p95 = masked_percentile(sub, sub > 0, 95.0)
