@@ -74,13 +74,25 @@ def _decimating_blur_matrix(kx, X, Xp):
     return M
 
 
+def _pool_blur_matrix(ky, ry_pad):
+    """(_BY/_DEC, _BY + 2*ry_pad) matrix folding the y-axis blur taps AND the
+    _DEC-row mean pool into one MXU matmul (the score consumer only ever sees
+    the pooled planes, so full-res y rows never need to exist)."""
+    y0 = ry_pad - len(ky) // 2
+    M = np.zeros((_BY // _DEC, _BY + 2 * ry_pad), np.float32)
+    for o in range(_BY // _DEC):
+        for d in range(_DEC):
+            for t, w in enumerate(ky):
+                M[o, y0 + _DEC * o + d + t] += w / _DEC
+    return M
+
+
 def _make_score_kernel(Z, X, kz, ky, kx, airyscan_offset, ry_pad):
     rz, ry, rx = len(kz) // 2, len(ky) // 2, len(kx) // 2
     Xp = X + 2 * rx
     Xp += (-Xp) % 128
-    y0 = ry_pad - ry  # first row of the real y-halo inside the padded slab
 
-    def kernel(p95_ref, xp_hbm, mx_ref, out_ref, slab, zbuf, sem):
+    def kernel(p95_ref, xp_hbm, my_ref, mx_ref, out_ref, slab, fbuf, sem):
         i = pl.program_id(0)
         # uint16 DMA slices need 16-row sublane granularity: the slab is padded
         # to ry_pad (8) rows per side even though the y kernel radius is ry (4)
@@ -89,30 +101,31 @@ def _make_score_kernel(Z, X, kz, ky, kx, airyscan_offset, ry_pad):
         cp.start()
         p95 = p95_ref[0]
         cp.wait()
-        # plane-wise processing: every live value is 2-D — the first version's
-        # full-slab f32 temporaries (11 MB) forced register spills.
-        # u16 -> f32 via i32 (Mosaic has no direct u16->f32 cast), airyscan
-        # offset, p95 clip (clip-to-value like the reference: values above p95
-        # are SET to p95, surface_projection.py:33-36)
+        # plane-wise processing: every live value is 2-D (full-slab f32
+        # EXPRESSIONS spill registers; explicit per-plane writes into the
+        # fbuf VMEM scratch do not).
+        # Convert each input plane ONCE — u16 -> f32 via i32 (Mosaic has no
+        # direct u16->f32 cast), airyscan offset, p95 clip (clip-to-value like
+        # the reference: values above p95 are SET to p95,
+        # surface_projection.py:33-36). The old per-output z-loop re-converted
+        # every plane len(kz) times (150 plane passes instead of 34 at Z=30).
+        for zi in range(Z + 2 * rz):
+            v = slab[zi].astype(jnp.int32).astype(jnp.float32)
+            if airyscan_offset:
+                v = jnp.maximum(v - airyscan_offset, 0.0)
+            fbuf[zi] = jnp.minimum(v, p95)
+        my = my_ref[...]
         mx = mx_ref[...]
         for zo in range(Z):
             zacc = None
             for t, w in enumerate(kz):
-                v = slab[zo + t].astype(jnp.int32).astype(jnp.float32)
-                if airyscan_offset:
-                    v = jnp.maximum(v - airyscan_offset, 0.0)
-                v = jnp.minimum(v, p95)
-                zacc = w * v if zacc is None else zacc + w * v
-            zbuf[zo] = zacc
-        for zo in range(Z):
-            zrow = zbuf[zo]
-            yacc = None
-            for t, w in enumerate(ky):
-                term = w * zrow[y0 + t:y0 + t + _BY]
-                yacc = term if yacc is None else yacc + term
-            # x-blur + x-decimation as one matmul per z-plane (2-D dots: the
-            # only matmul form Mosaic guarantees); y decimation happens outside
-            out_ref[zo] = jax.lax.dot(yacc, mx,
+                term = w * fbuf[zo + t]
+                zacc = term if zacc is None else zacc + term
+            # y-blur + y-mean-pool as one matmul, then x-blur + x-decimation
+            # as another (2-D dots: the only matmul form Mosaic guarantees) —
+            # the 9-tap y blur used to run on the VPU over full-width rows
+            yz = jax.lax.dot(my, zacc, preferred_element_type=jnp.float32)
+            out_ref[zo] = jax.lax.dot(yz, mx,
                                       preferred_element_type=jnp.float32)
 
     return kernel, rz, ry, rx, Xp
@@ -121,9 +134,9 @@ def _make_score_kernel(Z, X, kz, ky, kx, airyscan_offset, ry_pad):
 @functools.partial(jax.jit, static_argnames=("airyscan_offset",))
 def _score_pass(vol_u16: jnp.ndarray, p95: jnp.ndarray,
                 airyscan_offset: float = 0.0) -> jnp.ndarray:
-    """(Z, Y, X) uint16 -> (Z, Y, X/4) f32 x-decimated clipped blurred volume
-    (y stays full resolution; the caller mean-pools y in XLA — exact, the ops
-    act on different axes)."""
+    """(Z, Y, X) uint16 -> (Z, Y/4, X/4) f32 fully-decimated clipped blurred
+    score volume (the 4x4 mean pool is folded into the kernel's y/x matmuls,
+    so the full-resolution blurred planes never exist anywhere)."""
     Z, Y, X = vol_u16.shape
     kz, ky, kx = _taps(0.5), _taps(1.0), _taps(1.0)
     ry_pad = 8
@@ -131,23 +144,25 @@ def _score_pass(vol_u16: jnp.ndarray, p95: jnp.ndarray,
                                                 ry_pad)
     xp = jnp.pad(vol_u16, ((rz, rz), (ry_pad, ry_pad), (rx, rx + Xp - X - 2 * rx)),
                  mode="edge")
+    my = jnp.asarray(_pool_blur_matrix(ky, ry_pad))
     mx = jnp.asarray(_decimating_blur_matrix(kx, X, Xp))
     return pl.pallas_call(
         kernel,
         grid=(Y // _BY,),
-        out_shape=jax.ShapeDtypeStruct((Z, Y, X // _DEC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Z, Y // _DEC, X // _DEC), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((Z, _BY, X // _DEC), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((Z, _BY // _DEC, X // _DEC), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((Z + 2 * rz, _BY + 2 * ry_pad, Xp), jnp.uint16),
-            pltpu.VMEM((Z, _BY + 2 * ry_pad, Xp), jnp.float32),
+            pltpu.VMEM((Z + 2 * rz, _BY + 2 * ry_pad, Xp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(jnp.reshape(p95.astype(jnp.float32), (1,)), xp, mx)
+    )(jnp.reshape(p95.astype(jnp.float32), (1,)), xp, my, mx)
 
 
 def _make_project_kernel(C, Z, X, kz, ky, kx, airyscan_offset, ref_channel,
@@ -209,24 +224,35 @@ def _make_project_kernel(C, Z, X, kz, ky, kx, airyscan_offset, ref_channel,
                 v = jnp.maximum(v - airyscan_offset, 0.0)
             return v * mm
 
+        # content gating: a plane z contributes iff some pixel's (possibly
+        # shifted) z-map lands within the z-blur radius — |z - relz| <= rz
+        # for some tap (plane_mask's compares are all-zero otherwise) — so
+        # only [min(relz) - rz, max(relz) + rz] needs computing. Tissue
+        # surfaces span a few z per 64-row block, so this typically skips
+        # most of the stack. Exact by construction (skipped planes are 0).
+        r_lo, r_hi = jnp.min(relz), jnp.max(relz)
+        if atoh_shift:
+            r_lo = jnp.minimum(r_lo, jnp.min(relz_s))
+            r_hi = jnp.maximum(r_hi, jnp.max(relz_s))
+        zlo = jnp.maximum(r_lo - rz, 0)
+        zhi = jnp.minimum(r_hi + rz, Z - 1)
+
         # two z-planes per step: their mask/contribution chains are independent,
-        # so the VPU overlaps them; one read-modify-write of out_ref per pair
+        # so the VPU overlaps them; one read-modify-write of out_ref per pair.
+        # An odd-length range recomputes plane zhi twice (zb clamps to zhi) —
+        # max-accumulation is idempotent, so the duplicate is free of effect.
         def body(z2, carry):
-            z0 = z2 * 2
-            ma = masks_at(z0)
-            mb = masks_at(z0 + 1)
+            za = zlo + z2 * 2
+            zb = jnp.minimum(za + 1, zhi)
+            ma = masks_at(za)
+            mb = masks_at(zb)
             for c in range(C):
-                contrib = jnp.maximum(plane_contrib(c, z0, ma),
-                                      plane_contrib(c, z0 + 1, mb))
+                contrib = jnp.maximum(plane_contrib(c, za, ma),
+                                      plane_contrib(c, zb, mb))
                 out_ref[c] = jnp.maximum(out_ref[c], contrib)
             return carry
 
-        jax.lax.fori_loop(0, Z // 2, body, 0)
-        if Z % 2:
-            mt = masks_at(Z - 1)
-            for c in range(C):
-                out_ref[c] = jnp.maximum(out_ref[c],
-                                         plane_contrib(c, Z - 1, mt))
+        jax.lax.fori_loop(0, (zhi - zlo + 2) // 2, body, 0)
 
     return kernel, rz, ry, rx, Xp
 
@@ -291,8 +317,7 @@ def fused_projection(image: jnp.ndarray, reference_channel: int = 0,
     if off:
         sub = jnp.maximum(sub - off, 0.0)
     p95 = masked_percentile(sub, sub > 0, 95.0)
-    xdec = _score_pass(ref, p95, airyscan_offset=off)
-    small = jnp.mean(xdec.reshape(Z, Y // _DEC, _DEC, X // _DEC), axis=2)
+    small = _score_pass(ref, p95, airyscan_offset=off)  # (Z, Y/4, X/4)
     score = gaussian_blur(small, (0.5, 30.0 / _DEC, 30.0 / _DEC), fast=True)
     rel_small = jnp.argmax(score, axis=0).astype(jnp.float32)
     rel_z = jnp.round(resize_bilinear(rel_small, (Y, X))).astype(jnp.int32)
