@@ -62,29 +62,41 @@ def fused_projection_supported(shape) -> bool:
             and Z <= 64 and Y >= 2 * _BY)
 
 
-def _decimating_blur_matrix(kx, X, Xp):
-    """(Xp, X//_DEC) banded matrix folding the x-axis blur taps AND the
-    _DEC-wide mean decimation into one MXU matmul (Mosaic has no lane-splitting
-    reshape, so in-kernel decimation rides the systolic array instead)."""
-    XO = X // _DEC
-    M = np.zeros((Xp, XO), np.float32)
-    for t, w in enumerate(kx):
+def _blur_decimate_matrix(taps, n_out, pad_before):
+    """(n_in, n_out) banded matrix folding 1-D blur taps AND _DEC-wide mean
+    decimation into one MXU matmul: out[o] = mean_d sum_t taps[t] *
+    in[pad_before - r + _DEC*o + d + t], the blur-then-pool of an input padded
+    by ``pad_before`` on the leading edge. One builder serves both axes
+    (Mosaic has no lane-splitting reshape, so in-kernel decimation rides the
+    systolic array instead)."""
+    r = len(taps) // 2
+    n_in = pad_before - r + _DEC * (n_out - 1) + (_DEC - 1) + len(taps)
+    M = np.zeros((n_in, n_out), np.float32)
+    for t, w in enumerate(taps):
         for d in range(_DEC):
-            M[np.arange(XO) * _DEC + d + t, np.arange(XO)] += w / _DEC
-    return M
+            M[pad_before - r + np.arange(n_out) * _DEC + d + t,
+              np.arange(n_out)] += w / _DEC
+    return M, n_in
+
+
+def _decimating_blur_matrix(kx, X, Xp):
+    """(Xp, X//_DEC) x-axis fold: the slab is padded by rx on the left and up
+    to Xp on the right, so pad_before = rx and extra right-pad columns carry
+    zero weight."""
+    rx = len(kx) // 2
+    M, n_in = _blur_decimate_matrix(kx, X // _DEC, pad_before=rx)
+    assert n_in <= Xp
+    return np.pad(M, ((0, Xp - n_in), (0, 0)))
 
 
 def _pool_blur_matrix(ky, ry_pad):
-    """(_BY/_DEC, _BY + 2*ry_pad) matrix folding the y-axis blur taps AND the
-    _DEC-row mean pool into one MXU matmul (the score consumer only ever sees
-    the pooled planes, so full-res y rows never need to exist)."""
-    y0 = ry_pad - len(ky) // 2
-    M = np.zeros((_BY // _DEC, _BY + 2 * ry_pad), np.float32)
-    for o in range(_BY // _DEC):
-        for d in range(_DEC):
-            for t, w in enumerate(ky):
-                M[o, y0 + _DEC * o + d + t] += w / _DEC
-    return M
+    """(_BY/_DEC, _BY + 2*ry_pad) y-axis fold, TRANSPOSED for left-multiply
+    (out rows = pooled y): the slab carries ry_pad rows per side, so
+    pad_before = ry_pad (the score consumer only ever sees the pooled planes,
+    so full-res y rows never need to exist)."""
+    M, n_in = _blur_decimate_matrix(ky, _BY // _DEC, pad_before=ry_pad)
+    assert n_in <= _BY + 2 * ry_pad
+    return np.pad(M, ((0, _BY + 2 * ry_pad - n_in), (0, 0))).T
 
 
 def _make_score_kernel(Z, X, kz, ky, kx, airyscan_offset, ry_pad):
@@ -305,10 +317,10 @@ def fused_projection(image: jnp.ndarray, reference_channel: int = 0,
     img_u16 = image.astype(jnp.uint16)
     off = airyscan_offset if airyscan else 0.0
     ref = img_u16[reference_channel]
-    # p95 of the positive pixels from a 4x4 spatial subsample (30x1024^2 -> 2M
-    # samples; the full-volume order statistic differs by O(1e-2) percentile
-    # noise, far below the clip's effect on the smoothed score)
-    # whole-ROW subsample, NOT ::4 on x: element-strided gathers crawl on TPU
+    # p95 of the positive pixels from a 1-in-16 whole-ROW subsample
+    # (30x1024^2 -> 2M samples; the full-volume order statistic differs by
+    # O(1e-2) percentile noise, far below the clip's effect on the smoothed
+    # score). Whole rows, NOT a ::4,::4 grid: element-strided gathers crawl on TPU
     # (the ::4,::4 grid cost ~0.8 ms/frame; contiguous rows ~0.05 — the
     # bisection itself is only ~0.2 ms, probe_p95.py). Rows are spatially
     # representative across planes; estimator noise is the same O(1e-2)
