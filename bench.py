@@ -138,7 +138,7 @@ def main(argv=None):
         proj, zmap = project_timepoint_auto(
             stack, reference_channel=0, airyscan=False)
         labels = watershed_segmentation(proj[0], 0.2, 3.0, 101)
-        table = frame_cellinfo(labels, capacity=cap)
+        table = frame_cellinfo(labels, capacity=cap, with_neighbors=False)
         return proj[0], table.cy, table.cx, table.area, table.valid_mask()
 
     # the WHOLE movie pass is one device program: per-program dispatch through
@@ -169,7 +169,8 @@ def main(argv=None):
                     lambda s: project_timepoint_auto(
                         s, reference_channel=0, airyscan=False)[0][0], stacks)
                 labels = watershed_segmentation_batch(projs, 0.2, 3.0, 101)
-                tabs = jax.vmap(lambda l: frame_cellinfo(l, capacity=cap))(labels)
+                tabs = jax.vmap(lambda l: frame_cellinfo(
+                    l, capacity=cap, with_neighbors=False))(labels)
                 return projs, tabs.cy, tabs.cx, tabs.area, tabs.valid_mask()
 
             projs, cys, cxs, areas, masks = jax.lax.map(per_batch, batches)
@@ -380,7 +381,7 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         def cfg4(fr, ranges):
             def per_frame(p):
                 lab = watershed_segmentation(p, 0.2, 3.0, 101)
-                tb = frame_cellinfo(lab, capacity=cap)
+                tb = frame_cellinfo(lab, capacity=cap, with_neighbors=False)
                 return tb.cy, tb.cx, tb.area, tb.valid_mask()
             cys, cxs, areas, masks = jax.lax.map(per_frame, fr)
             drifts = compute_drift_chain(fr)

@@ -166,6 +166,25 @@ def test_frame_cellinfo():
     assert np.asarray(back.n_neighbors).tolist() == np.asarray(table.n_neighbors).tolist()
 
 
+def test_frame_cellinfo_without_neighbors():
+    lab = np.zeros((32, 32), np.int32)
+    lab[2:13, 2:16] = 1
+    lab[2:13, 17:30] = 2
+    lab[14:28, 2:16] = 3
+    lab[14:28, 17:30] = 4
+    full = frame_cellinfo(jnp.asarray(lab), capacity=8)
+    lean = frame_cellinfo(jnp.asarray(lab), capacity=8, with_neighbors=False)
+    # everything except the neighbor graph matches the full table
+    np.testing.assert_allclose(np.asarray(lean.area), np.asarray(full.area))
+    np.testing.assert_allclose(np.asarray(lean.cy), np.asarray(full.cy))
+    np.testing.assert_allclose(np.asarray(lean.cx), np.asarray(full.cx))
+    assert np.asarray(lean.valid).tolist() == np.asarray(full.valid).tolist()
+    assert np.asarray(lean.empty_cell).tolist() == np.asarray(full.empty_cell).tolist()
+    # neighbor outputs are zero-filled, not garbage
+    assert np.asarray(lean.n_neighbors).sum() == 0
+    assert np.asarray(lean.neighbors).sum() == 0
+
+
 def test_track_movie_nearest_pixel():
     from tissue_image_processing_tpu.core.tracking import track_movie_nearest_pixel
     import sys, os

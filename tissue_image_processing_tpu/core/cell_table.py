@@ -161,7 +161,8 @@ class CellTable:
             n_neighbors=jnp.asarray(counts))
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "max_neighbors"))
+@functools.partial(jax.jit, static_argnames=("capacity", "max_neighbors",
+                                             "with_neighbors"))
 def frame_cellinfo(
     labels: jnp.ndarray,
     capacity: int,
@@ -169,12 +170,20 @@ def frame_cellinfo(
     min_cell_area: float = 0.1,
     max_cell_area: float = 10.0,
     intensity: Optional[jnp.ndarray] = None,
+    with_neighbors: bool = True,
 ) -> CellTable:
     """Compute one frame's cell table from a label map (the device-side equivalent of
     ``Tissue.calculate_frame_cellinfo`` + ``find_neighbors``,
     ``tissue_info.py:880-909,1815-1842``): regionprops via segment reductions,
     validity by area in (min_frac, max_frac) x mean area, neighbor graph via the 5x5
-    max-filter scatter restricted to valid cells."""
+    max-filter scatter restricted to valid cells.
+
+    ``with_neighbors=False`` skips the neighbor graph and zero-fills
+    ``neighbors``/``n_neighbors``. The graph's adjacency scatter is the most
+    expensive piece of the table (~6.4 ms at 1024^2, probe_cellinfo.py —
+    XLA's scatter serializes 1M pixel votes); XLA dead-code-eliminates it
+    when those outputs go unused, but tracking-only callers should pass the
+    flag rather than rely on DCE surviving vmap/scan/export contexts."""
     props = regionprops(labels, num_labels=capacity, intensity=intensity)
     exists = props["exists"].at[0].set(False)
     area = jnp.where(exists, props["area"], 0.0)[1:capacity + 1]
@@ -183,10 +192,14 @@ def frame_cellinfo(
     mean_area = jnp.sum(area) / n_cells
     valid = (exists_c & (area < max_cell_area * mean_area)
              & (area > min_cell_area * mean_area)).astype(jnp.int32)
-    # reference only inserts neighbor pairs whose window-max cell is valid
-    working = jnp.concatenate([jnp.zeros((1,), bool), valid == 1])
-    adj = adjacency_matrix(labels, num_labels=capacity, working_mask=working)
-    nbrs, counts = neighbor_lists(adj, max_neighbors=max_neighbors)
+    if with_neighbors:
+        # reference only inserts neighbor pairs whose window-max cell is valid
+        working = jnp.concatenate([jnp.zeros((1,), bool), valid == 1])
+        adj = adjacency_matrix(labels, num_labels=capacity, working_mask=working)
+        nbrs, counts = neighbor_lists(adj, max_neighbors=max_neighbors)
+    else:
+        nbrs = jnp.zeros((capacity + 1, max_neighbors), jnp.int32)
+        counts = jnp.zeros((capacity + 1,), jnp.int32)
     bbox = jnp.stack([props["bbox_min_row"], props["bbox_min_col"],
                       props["bbox_max_row"], props["bbox_max_col"]], axis=1)
     seg_label = jnp.arange(1, capacity + 1, dtype=jnp.int32)

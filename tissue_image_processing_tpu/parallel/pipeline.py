@@ -77,7 +77,8 @@ def sharded_movie_pipeline(
             stack, reference_channel=reference_channel, airyscan=airyscan)
         ref = proj[reference_channel]
         labels = watershed_segmentation(ref, threshold, std, block_size)
-        table = frame_cellinfo(labels, capacity=capacity)
+        # tracking consumes positions/areas only; skip the adjacency scatter
+        table = frame_cellinfo(labels, capacity=capacity, with_neighbors=False)
         return ref, table.cy, table.cx, table.area, table.valid_mask()
 
     def shard_fn(movie_shard):  # (T/n, C, Z, H, W) on each device
@@ -164,7 +165,8 @@ def sharded_unet_pipeline(
         # back to (Y, X) so centroids pair with the (dy, dx) drift tail and
         # the output space matches sharded_movie_pipeline's watershed tables
         labels = labels.T
-        table = frame_cellinfo(labels, capacity=capacity)
+        # tracking consumes positions/areas only; skip the adjacency scatter
+        table = frame_cellinfo(labels, capacity=capacity, with_neighbors=False)
         return (proj[reference_channel], table.cy, table.cx, table.area,
                 table.valid_mask())
 
