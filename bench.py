@@ -428,7 +428,8 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
             x = jnp.transpose(norm, (0, 3, 2, 1)).astype(jnp.bfloat16)
             preds = model.apply(v, x, train=False)
             labels, _hc = unet_postprocess_batch(preds.astype(jnp.float32))
-            tabs = jax.vmap(lambda l: frame_cellinfo(l, capacity=cap))(labels)
+            tabs = jax.vmap(lambda l: frame_cellinfo(
+                l, capacity=cap, neighbor_compact_k=192))(labels)
             prj, cys, cxs, areas, masks, nn = (
                 prj[:, 0], tabs.cy, tabs.cx, tabs.area, tabs.valid_mask(),
                 tabs.n_neighbors)

@@ -46,6 +46,18 @@ def make_cell_image(h=128, w=128, n_seeds=20, seed=0, sigma=2.0):
     return (img * 60000).astype(np.float32)
 
 
+def make_cell_labels(h=128, w=128, n_seeds=20, seed=0):
+    """Synthetic watershed-style label map: Voronoi cells with 1-px zero lines."""
+    r = np.random.default_rng(seed)
+    pts = np.stack([r.uniform(0, h, n_seeds), r.uniform(0, w, n_seeds)], axis=1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    d = (yy[..., None] - pts[:, 0]) ** 2 + (xx[..., None] - pts[:, 1]) ** 2
+    lab = d.argmin(axis=-1).astype(np.int32) + 1
+    lines = (np.abs(np.diff(lab, axis=0, prepend=lab[:1])) > 0) | \
+            (np.abs(np.diff(lab, axis=1, prepend=lab[:, :1])) > 0)
+    return np.where(lines, 0, lab).astype(np.int32)
+
+
 @pytest.fixture
 def cell_image():
     return make_cell_image()

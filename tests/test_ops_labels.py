@@ -116,6 +116,54 @@ def test_adjacency_working_mask():
     assert got_pairs == want_pairs
 
 
+def test_adjacency_compact_parity():
+    # run-dedup + top_k compaction is exact when rows carry <= k vote runs
+    from conftest import make_cell_labels
+    from tissue_image_processing_tpu.ops.neighbors import adjacency_overflow
+    lab = make_cell_labels(96, 128, n_seeds=40, seed=5)
+    cap = int(lab.max()) + 4
+    exact = np.asarray(adjacency_matrix(jnp.asarray(lab), num_labels=cap))
+    compact = np.asarray(adjacency_matrix(jnp.asarray(lab), num_labels=cap,
+                                          compact_k=64))
+    np.testing.assert_array_equal(exact, compact)
+    assert not bool(adjacency_overflow(jnp.asarray(lab), cap, k=64))
+    # with a working mask too
+    mask = np.zeros(cap + 1, bool)
+    mask[1::2] = True
+    em = np.asarray(adjacency_matrix(jnp.asarray(lab), num_labels=cap,
+                                     working_mask=jnp.asarray(mask)))
+    cm = np.asarray(adjacency_matrix(jnp.asarray(lab), num_labels=cap,
+                                     working_mask=jnp.asarray(mask), compact_k=64))
+    np.testing.assert_array_equal(em, cm)
+
+
+def test_adjacency_overflow_flags_adversarial():
+    # alternating 1-px labels: every pixel is a vote-run start -> any small k
+    # overflows, and the flag says so (callers then take the exact path)
+    from tissue_image_processing_tpu.ops.neighbors import adjacency_overflow
+    lab = np.tile(np.arange(1, 33, dtype=np.int32), (8, 1))
+    assert bool(adjacency_overflow(jnp.asarray(lab), 32, k=4))
+    # with sufficient k the compact path is still exact even here
+    exact = np.asarray(adjacency_matrix(jnp.asarray(lab), num_labels=32))
+    compact = np.asarray(adjacency_matrix(jnp.asarray(lab), num_labels=32,
+                                          compact_k=lab.shape[1]))
+    np.testing.assert_array_equal(exact, compact)
+
+
+def test_frame_cellinfo_compact_neighbors_parity():
+    from conftest import make_cell_labels
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+    lab = make_cell_labels(96, 128, n_seeds=40, seed=7)
+    cap = 64
+    exact = frame_cellinfo(jnp.asarray(lab), capacity=cap)
+    compact = frame_cellinfo(jnp.asarray(lab), capacity=cap,
+                             neighbor_compact_k=64)
+    np.testing.assert_array_equal(np.asarray(exact.neighbors),
+                                  np.asarray(compact.neighbors))
+    np.testing.assert_array_equal(np.asarray(exact.n_neighbors),
+                                  np.asarray(compact.n_neighbors))
+
+
 def test_neighbor_lists():
     lab = _toy_labels()
     adj = adjacency_matrix(jnp.asarray(lab), num_labels=8)

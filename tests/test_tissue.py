@@ -46,6 +46,30 @@ def make_tissue(T=4, capacity=64, delaminate=None, divide=None):
     return tissue
 
 
+def test_cellinfo_exact_fallback_on_adversarial_labels():
+    # alternating 1-px labels overflow the compacted adjacency's per-row vote
+    # budget; calculate_frame_cellinfo must detect that and produce the exact
+    # neighbor graph anyway (via the unconditional-scatter fallback)
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+    import jax.numpy as jnp
+    import tissue_image_processing_tpu.core.tissue as tissue_mod
+    lab = np.tile(np.arange(1, 33, dtype=np.int32), (256, 8))  # (256, 256)
+    tissue = Tissue(1, "adversarial", capacity=64)
+    tissue.set_labels(1, lab)
+    old_k = tissue_mod._NEIGHBOR_COMPACT_K
+    tissue_mod._NEIGHBOR_COMPACT_K = 8  # force the overflow branch
+    try:
+        tissue.calculate_frame_cellinfo(1)
+    finally:
+        tissue_mod._NEIGHBOR_COMPACT_K = old_k
+    got = tissue.get_cells_info(1)
+    want = frame_cellinfo(jnp.asarray(lab), capacity=64)
+    np.testing.assert_array_equal(np.asarray(got.n_neighbors),
+                                  np.asarray(want.n_neighbors))
+    np.testing.assert_array_equal(np.asarray(got.neighbors),
+                                  np.asarray(want.neighbors))
+
+
 def test_frame_analysis_and_tracking():
     tissue = make_tissue()
     tissue.track_cells()

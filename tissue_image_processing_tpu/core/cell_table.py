@@ -162,7 +162,8 @@ class CellTable:
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "max_neighbors",
-                                             "with_neighbors"))
+                                             "with_neighbors",
+                                             "neighbor_compact_k"))
 def frame_cellinfo(
     labels: jnp.ndarray,
     capacity: int,
@@ -171,6 +172,7 @@ def frame_cellinfo(
     max_cell_area: float = 10.0,
     intensity: Optional[jnp.ndarray] = None,
     with_neighbors: bool = True,
+    neighbor_compact_k: Optional[int] = None,
 ) -> CellTable:
     """Compute one frame's cell table from a label map (the device-side equivalent of
     ``Tissue.calculate_frame_cellinfo`` + ``find_neighbors``,
@@ -183,7 +185,13 @@ def frame_cellinfo(
     expensive piece of the table (~6.4 ms at 1024^2, probe_cellinfo.py —
     XLA's scatter serializes 1M pixel votes); XLA dead-code-eliminates it
     when those outputs go unused, but tracking-only callers should pass the
-    flag rather than rely on DCE surviving vmap/scan/export contexts."""
+    flag rather than rely on DCE surviving vmap/scan/export contexts.
+
+    ``neighbor_compact_k``: run-dedup + top_k vote compaction for the
+    adjacency scatter (6.1 -> 1.2 ms at 1024^2) — exact whenever every label
+    row has <= k distinct vote runs; see ``ops.neighbors.adjacency_matrix``.
+    Host callers verify with ``ops.neighbors.adjacency_overflow`` and retry
+    exact (``Tissue.calculate_frame_cellinfo`` does)."""
     props = regionprops(labels, num_labels=capacity, intensity=intensity)
     exists = props["exists"].at[0].set(False)
     area = jnp.where(exists, props["area"], 0.0)[1:capacity + 1]
@@ -195,7 +203,8 @@ def frame_cellinfo(
     if with_neighbors:
         # reference only inserts neighbor pairs whose window-max cell is valid
         working = jnp.concatenate([jnp.zeros((1,), bool), valid == 1])
-        adj = adjacency_matrix(labels, num_labels=capacity, working_mask=working)
+        adj = adjacency_matrix(labels, num_labels=capacity, working_mask=working,
+                               compact_k=neighbor_compact_k)
         nbrs, counts = neighbor_lists(adj, max_neighbors=max_neighbors)
     else:
         nbrs = jnp.zeros((capacity + 1, max_neighbors), jnp.int32)

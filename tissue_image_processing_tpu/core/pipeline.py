@@ -63,7 +63,10 @@ def _segment_program(movie, reference_channel=0, threshold=0.2, std=3.0,
     labels = jax.lax.map(
         seg_group, refs_t.reshape(T // B, B, *refs_t.shape[1:]))
     labels = labels.reshape(T, *labels.shape[2:])
-    tabs = jax.vmap(lambda l: frame_cellinfo(l, capacity=capacity))(labels)
+    # compacted adjacency votes: exact for <= 192 vote runs per label row
+    # (any real segmentation; ops/neighbors.py docstring has the contract)
+    tabs = jax.vmap(lambda l: frame_cellinfo(
+        l, capacity=capacity, neighbor_compact_k=192))(labels)
     drifts = compute_drift_chain(refs_t)
     return labels, tabs, drifts
 
