@@ -72,8 +72,6 @@ def cmd_pipeline(args):
     ONE device program (core/pipeline.py), then populate the session — the
     single-chip product form of the reference's segment-all + track workflow
     (gui.py:1348-1376, 1590-1603) without its per-frame host round-trips."""
-    import dataclasses
-
     import jax
 
     from tissue_image_processing_tpu.core.pipeline import movie_pipeline
@@ -92,15 +90,19 @@ def cmd_pipeline(args):
     # would cost ~27 ms each through a dev tunnel (bench.py methodology)
     tabs = jax.tree_util.tree_map(np.asarray, out["tables"])
     masks = tabs.valid_mask()  # pure numpy once converted
+    overflow = out["neighbor_overflow"]
     for i in range(store.num_frames):
         f = i + 1
         tissue.set_labels(f, labels[i], reset_data=True)
         t = jax.tree_util.tree_map(lambda x: x[i], tabs)
-        new_label = np.where(masks[i], ids[i], t.label)
-        tissue.set_cells_info(f, dataclasses.replace(
-            t, label=jnp.asarray(new_label.astype(np.int32))))
+        if overflow[i]:
+            # this frame's compacted adjacency dropped pairs (>192 vote runs
+            # in some label row) — recompute its table with the exact scatter
+            from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+            t = jax.tree_util.tree_map(np.asarray, frame_cellinfo(
+                jnp.asarray(labels[i]), capacity=args.capacity))
+        tissue.apply_track_ids(f, t, ids[i], masks[i])
     tissue.drifts[:store.num_frames] = out["drifts"]
-    tissue.cells_number = int(ids.max())
     n_tracked = int((ids > 0).any(0).sum())
     print(f"pipeline: {store.num_frames} frames, "
           f"{int((ids[0] > 0).sum())} cells in frame 1, "

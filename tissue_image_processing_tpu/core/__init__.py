@@ -1,5 +1,5 @@
 from tissue_image_processing_tpu.core.cell_table import (  # noqa: F401
-    CellTable, frame_cellinfo,
+    CellTable, frame_cellinfo, frame_cellinfo_checked,
     CELL_INFO_COLUMNS, INVALID_TYPE_INDEX,
     is_positive_for_type, change_type,
 )

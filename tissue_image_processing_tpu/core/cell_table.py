@@ -15,13 +15,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tissue_image_processing_tpu.ops.neighbors import adjacency_matrix, neighbor_lists
+from tissue_image_processing_tpu.ops.neighbors import (
+    adjacency_matrix, adjacency_matrix_checked, neighbor_lists)
 from tissue_image_processing_tpu.ops.regionprops import regionprops
 
 INVALID_TYPE_INDEX = 255
@@ -190,8 +191,43 @@ def frame_cellinfo(
     ``neighbor_compact_k``: run-dedup + top_k vote compaction for the
     adjacency scatter (6.1 -> 1.2 ms at 1024^2) — exact whenever every label
     row has <= k distinct vote runs; see ``ops.neighbors.adjacency_matrix``.
-    Host callers verify with ``ops.neighbors.adjacency_overflow`` and retry
-    exact (``Tissue.calculate_frame_cellinfo`` does)."""
+    Host callers use ``frame_cellinfo_checked`` (same program + overflow
+    flag) and retry exact (``Tissue.calculate_frame_cellinfo`` does)."""
+    return _frame_cellinfo_impl(labels, capacity, max_neighbors, min_cell_area,
+                                max_cell_area, intensity, with_neighbors,
+                                neighbor_compact_k)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "max_neighbors",
+                                             "neighbor_compact_k"))
+def frame_cellinfo_checked(
+    labels: jnp.ndarray,
+    capacity: int,
+    max_neighbors: int = 64,
+    min_cell_area: float = 0.1,
+    max_cell_area: float = 10.0,
+    intensity: Optional[jnp.ndarray] = None,
+    neighbor_compact_k: int = 192,
+) -> Tuple[CellTable, jnp.ndarray]:
+    """``frame_cellinfo`` with the compacted adjacency scatter AND its
+    overflow flag from the same device program: (table, overflow). Host
+    callers read the flag with the table and recompute exact
+    (``neighbor_compact_k=None``) on the rare overflow."""
+    return _frame_cellinfo_impl(labels, capacity, max_neighbors, min_cell_area,
+                                max_cell_area, intensity, True,
+                                neighbor_compact_k)
+
+
+def _frame_cellinfo_impl(
+    labels: jnp.ndarray,
+    capacity: int,
+    max_neighbors: int,
+    min_cell_area: float,
+    max_cell_area: float,
+    intensity: Optional[jnp.ndarray],
+    with_neighbors: bool,
+    neighbor_compact_k: Optional[int],
+) -> Tuple[CellTable, jnp.ndarray]:
     props = regionprops(labels, num_labels=capacity, intensity=intensity)
     exists = props["exists"].at[0].set(False)
     area = jnp.where(exists, props["area"], 0.0)[1:capacity + 1]
@@ -200,11 +236,17 @@ def frame_cellinfo(
     mean_area = jnp.sum(area) / n_cells
     valid = (exists_c & (area < max_cell_area * mean_area)
              & (area > min_cell_area * mean_area)).astype(jnp.int32)
+    overflow = jnp.asarray(False)
     if with_neighbors:
         # reference only inserts neighbor pairs whose window-max cell is valid
         working = jnp.concatenate([jnp.zeros((1,), bool), valid == 1])
-        adj = adjacency_matrix(labels, num_labels=capacity, working_mask=working,
-                               compact_k=neighbor_compact_k)
+        if neighbor_compact_k is not None:
+            adj, overflow = adjacency_matrix_checked(
+                labels, num_labels=capacity, working_mask=working,
+                compact_k=neighbor_compact_k)
+        else:
+            adj = adjacency_matrix(labels, num_labels=capacity,
+                                   working_mask=working)
         nbrs, counts = neighbor_lists(adj, max_neighbors=max_neighbors)
     else:
         nbrs = jnp.zeros((capacity + 1, max_neighbors), jnp.int32)
@@ -212,7 +254,7 @@ def frame_cellinfo(
     bbox = jnp.stack([props["bbox_min_row"], props["bbox_min_col"],
                       props["bbox_max_row"], props["bbox_max_col"]], axis=1)
     seg_label = jnp.arange(1, capacity + 1, dtype=jnp.int32)
-    return CellTable(
+    table = CellTable(
         area=area,
         perimeter=jnp.where(exists_c, props["perimeter"][1:], 0.0),
         label=jnp.where(exists_c, seg_label, 0),  # track id defaults to seg label
@@ -225,3 +267,4 @@ def frame_cellinfo(
         neighbors=nbrs[1:],
         n_neighbors=counts[1:],
     )
+    return table, overflow

@@ -37,7 +37,7 @@ def _flood_batch(T: int, batch: int) -> int:
 def _segment_program(movie, reference_channel=0, threshold=0.2, std=3.0,
                      block_size=101, capacity=1024, batch=2, airyscan=False,
                      project=True):
-    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo_checked
     from tissue_image_processing_tpu.core.tracking import compute_drift_chain
     from tissue_image_processing_tpu.ops.watershed import (
         watershed_segmentation_batch)
@@ -64,11 +64,13 @@ def _segment_program(movie, reference_channel=0, threshold=0.2, std=3.0,
         seg_group, refs_t.reshape(T // B, B, *refs_t.shape[1:]))
     labels = labels.reshape(T, *labels.shape[2:])
     # compacted adjacency votes: exact for <= 192 vote runs per label row
-    # (any real segmentation; ops/neighbors.py docstring has the contract)
-    tabs = jax.vmap(lambda l: frame_cellinfo(
+    # (any real segmentation; ops/neighbors.py docstring has the contract) —
+    # the per-frame overflow flags ride the same program so the host driver
+    # can recompute any flagged frame's table with the exact scatter
+    tabs, overflow = jax.vmap(lambda l: frame_cellinfo_checked(
         l, capacity=capacity, neighbor_compact_k=192))(labels)
     drifts = compute_drift_chain(refs_t)
-    return labels, tabs, drifts
+    return labels, tabs, drifts, overflow
 
 
 def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
@@ -93,7 +95,7 @@ def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
     if movie.ndim != 5:
         raise ValueError(f"movie must be (T, C, Z, Y, X), got {movie.shape}")
     project = movie.shape[2] > 1
-    labels, tabs, dr = _segment_program(
+    labels, tabs, dr, overflow = _segment_program(
         movie, reference_channel=reference_channel, threshold=threshold,
         std=std, block_size=block_size, capacity=capacity, batch=batch,
         airyscan=airyscan, project=project)
@@ -109,4 +111,7 @@ def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
                       capacity=2 * capacity,
                       search_ranges=jnp.asarray(ranges, jnp.float32))
     return {"labels": labels, "tables": tabs, "drifts": drifts,
-            "ids": np.asarray(ids)}
+            "ids": np.asarray(ids),
+            # (T,) bool: frames whose compacted adjacency dropped pairs —
+            # recompute those frames' tables with frame_cellinfo(compact=None)
+            "neighbor_overflow": np.asarray(overflow)}

@@ -28,7 +28,8 @@ import pandas as pd
 import jax.numpy as jnp
 
 from tissue_image_processing_tpu.core.cell_table import (
-    CellTable, frame_cellinfo, INVALID_TYPE_INDEX, is_positive_for_type, change_type)
+    CellTable, frame_cellinfo, frame_cellinfo_checked, INVALID_TYPE_INDEX,
+    is_positive_for_type, change_type)
 from tissue_image_processing_tpu.core import features as F
 from tissue_image_processing_tpu.ops.percentile import segment_percentile, percentile
 from tissue_image_processing_tpu.ops.regionprops import regionprops
@@ -306,20 +307,23 @@ class Tissue:
                 f"frame {frame}: {overflow} labels beyond capacity "
                 f"{self.capacity} are dropped to background; re-create the "
                 f"Tissue with a larger capacity")
-        # compacted adjacency scatter (6.1 -> 1.2 ms/frame at 1024^2); exact
-        # unless a label row exceeds _NEIGHBOR_COMPACT_K vote runs — the host
-        # checks the flag and falls back to the unconditional scatter
-        from tissue_image_processing_tpu.ops.neighbors import adjacency_overflow
+        # compacted adjacency scatter (6.1 -> 1.2 ms/frame at 1024^2); the
+        # overflow flag rides the SAME program, so the common case is one
+        # dispatch — only a label map exceeding _NEIGHBOR_COMPACT_K vote runs
+        # per row recomputes with the unconditional exact scatter
         lab_dev = jnp.asarray(labels.astype(np.int32))
-        compact_k = _NEIGHBOR_COMPACT_K
-        if bool(adjacency_overflow(lab_dev, self.capacity, k=compact_k)):
-            compact_k = None
-        table = frame_cellinfo(lab_dev,
-                               capacity=self.capacity,
-                               max_neighbors=self.max_neighbors,
-                               min_cell_area=self.min_cell_area,
-                               max_cell_area=self.max_cell_area,
-                               neighbor_compact_k=compact_k)
+        table, overflow = frame_cellinfo_checked(
+            lab_dev, capacity=self.capacity,
+            max_neighbors=self.max_neighbors,
+            min_cell_area=self.min_cell_area,
+            max_cell_area=self.max_cell_area,
+            neighbor_compact_k=_NEIGHBOR_COMPACT_K)
+        if bool(overflow):
+            table = frame_cellinfo(lab_dev,
+                                   capacity=self.capacity,
+                                   max_neighbors=self.max_neighbors,
+                                   min_cell_area=self.min_cell_area,
+                                   max_cell_area=self.max_cell_area)
         self.set_cells_info(frame, table)
         return 0
 
@@ -478,11 +482,20 @@ class Tissue:
             t = tables[i]
             if t is None:
                 continue
-            new_label = np.where(mask[i], ids[i], np.asarray(t.label))
-            self.set_cells_info(f, dataclasses.replace(
-                t, label=jnp.asarray(new_label.astype(np.int32))))
-        self.cells_number = max(self.cells_number, int(ids.max()))
+            self.apply_track_ids(f, t, ids[i], mask[i])
         return final_frame
+
+    def apply_track_ids(self, frame: int, table: CellTable,
+                        ids_row: np.ndarray, mask_row: np.ndarray) -> None:
+        """Write one frame's track ids into its table (valid cells get their
+        track id, invalid keep the segment label) and keep ``cells_number``
+        monotone. Shared by ``track_cells`` and the fused ``cli pipeline``
+        driver so the merge semantics cannot diverge."""
+        import dataclasses
+        new_label = np.where(mask_row, ids_row, np.asarray(table.label))
+        self.set_cells_info(frame, dataclasses.replace(
+            table, label=jnp.asarray(new_label.astype(np.int32))))
+        self.cells_number = max(self.cells_number, int(np.asarray(ids_row).max()))
 
     def calc_overall_drift(self) -> np.ndarray:
         """Cumulative drift over valid frames (reference ``tissue_info.py:791-801``)."""

@@ -134,8 +134,9 @@ class SegmentationPredictor:
                 folded_ok = True
         self.variables = variables
         # optional int8 path (models/quant.py): ~1.26x the bf16 forward on
-        # v5e; activation scales calibrate lazily on the first batch seen.
-        # Requires the folded (norm="shift") form.
+        # v5e; activation scales calibrate lazily on the first batch seen
+        # (or explicitly via calibrate()). Requires the folded (norm="shift")
+        # form.
         self.quantize = quantize and folded_ok
         if quantize and not folded_ok:
             import warnings
@@ -146,11 +147,34 @@ class SegmentationPredictor:
         self._qparams = None
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
 
+    def calibrate(self, image: np.ndarray) -> None:
+        """Fix the int8 activation scales from a REPRESENTATIVE frame/batch
+        ((C, Y, X) raw image, normalized+padded like ``predict`` inputs).
+        Call once before ``predict`` when the movie's first frame is not
+        representative (blank/pre-ablation frames): the lazy default
+        calibrates on whatever batch arrives first and keeps those scales
+        for the predictor's lifetime."""
+        if not self.quantize:
+            return
+        from tissue_image_processing_tpu.models.quant import quantize_unet
+        padded, _ = self.prepare_image(image)
+        self._qparams = quantize_unet(self.variables, padded, depth=self.depth)
+
     def _forward(self, batch):
         if self.quantize:
             from tissue_image_processing_tpu.models.quant import (
                 quantize_unet, unet_int8_apply)
             if self._qparams is None:
+                # static scales: whatever arrives first defines the clip
+                # range for the predictor's lifetime — flag clearly-blank
+                # calibration batches instead of silently degrading
+                if float(jnp.std(batch)) < 1e-3:
+                    import warnings
+                    warnings.warn(
+                        "int8 activation scales are calibrating on a "
+                        "near-constant (blank?) batch; subsequent frames "
+                        "will be clipped. Call calibrate(representative_"
+                        "image) first.", stacklevel=3)
                 self._qparams = quantize_unet(self.variables, batch,
                                               depth=self.depth)
             return unet_int8_apply(self._qparams, batch, depth=self.depth)

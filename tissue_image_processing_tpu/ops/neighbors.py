@@ -29,8 +29,8 @@ from tissue_image_processing_tpu.ops.morphology import (
     plus_minimum_filter,
 )
 
-__all__ = ["adjacency_matrix", "adjacency_overflow", "neighbor_lists",
-           "contact_length_matrix", "second_order_adjacency"]
+__all__ = ["adjacency_matrix", "adjacency_matrix_checked", "adjacency_overflow",
+           "neighbor_lists", "contact_length_matrix", "second_order_adjacency"]
 
 
 def _vote_keys(labels: jnp.ndarray, ns: int) -> jnp.ndarray:
@@ -42,12 +42,25 @@ def _vote_keys(labels: jnp.ndarray, ns: int) -> jnp.ndarray:
     return jnp.where(valid, dil * ns + lab, 0)
 
 
+def _run_starts(key: jnp.ndarray) -> jnp.ndarray:
+    """Zero every vote that repeats its left neighbor, keeping run STARTS.
+
+    Votes along an image row are piecewise constant (a and b are both locally
+    constant label fields), so the run-starts carry the full distinct pair set
+    exactly. This single definition is the exactness contract shared by the
+    compaction and its overflow check."""
+    return jnp.concatenate(
+        [key[:, :1], jnp.where(key[:, 1:] != key[:, :-1], key[:, 1:], 0)], 1)
+
+
+def _row_overflow(first: jnp.ndarray, k: int) -> jnp.ndarray:
+    return jnp.any(jnp.sum((first > 0).astype(jnp.int32), axis=1) > k)
+
+
 def _compact_votes(key: jnp.ndarray, k: int):
     """Run-dedup + top_k compaction of the per-pixel vote field.
 
-    Votes along an image row are piecewise constant (a and b are both locally
-    constant label fields), so keeping only run-STARTS preserves the distinct
-    pair set exactly; ``top_k`` then bounds the scatter update count at H*k
+    ``top_k`` over the run-starts bounds the scatter update count at H*k
     instead of H*W. Returns (vals (H, k) int32 descending with 0-padding,
     overflow bool scalar — True iff some row had more than k run-starts, i.e.
     its smallest-key pairs were dropped). Real segmentations measured 36-46
@@ -55,9 +68,8 @@ def _compact_votes(key: jnp.ndarray, k: int):
     a ~4x margin; adversarial label maps (alternating 1-px labels) can exceed
     any static k, hence the flag.
     """
-    first = jnp.concatenate(
-        [key[:, :1], jnp.where(key[:, 1:] != key[:, :-1], key[:, 1:], 0)], 1)
-    overflow = jnp.any(jnp.sum((first > 0).astype(jnp.int32), axis=1) > k)
+    first = _run_starts(key)
+    overflow = _row_overflow(first, k)
     vals, _ = jax.lax.top_k(first, min(k, key.shape[1]))
     return vals, overflow
 
@@ -65,11 +77,24 @@ def _compact_votes(key: jnp.ndarray, k: int):
 @functools.partial(jax.jit, static_argnames=("num_labels", "k"))
 def adjacency_overflow(labels: jnp.ndarray, num_labels: int, k: int = 192) -> jnp.ndarray:
     """Bool scalar: would ``adjacency_matrix(..., compact_k=k)`` drop pairs on
-    this label map? (Host callers check this to fall back to the exact path.)"""
+    this label map? (Host callers check this to fall back to the exact path;
+    fused host paths get the same flag for free from
+    ``adjacency_matrix_checked`` / ``frame_cellinfo_checked``.)"""
     key = _vote_keys(labels, num_labels + 1)
-    first = jnp.concatenate(
-        [key[:, :1], jnp.where(key[:, 1:] != key[:, :-1], key[:, 1:], 0)], 1)
-    return jnp.any(jnp.sum((first > 0).astype(jnp.int32), axis=1) > k)
+    return _row_overflow(_run_starts(key), k)
+
+
+def adjacency_matrix_checked(
+    labels: jnp.ndarray,
+    num_labels: int,
+    working_mask: Optional[jnp.ndarray] = None,
+    compact_k: int = 192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compacted adjacency plus its overflow flag in ONE program:
+    (adj, overflow). ``overflow`` True means some row exceeded ``compact_k``
+    vote runs and pairs were dropped — recompute with the exact path."""
+    return _adjacency_impl(labels, num_labels, working_mask, compact_k,
+                           with_overflow=True)
 
 
 @functools.partial(jax.jit, static_argnames=("num_labels", "compact_k"))
@@ -89,13 +114,19 @@ def adjacency_matrix(
     rows and top_k-compacted before the scatter (H*k updates instead of H*W —
     6.1 -> 1.2 ms at 1024^2, probe_adjfast.py). Exact whenever every image row
     carries <= compact_k distinct vote runs (any real segmentation; use
-    ``adjacency_overflow`` to verify, or leave None for the unconditionally
-    exact 1-update-per-pixel scatter).
+    ``adjacency_matrix_checked``/``adjacency_overflow`` to verify, or leave
+    None for the unconditionally exact 1-update-per-pixel scatter).
     """
+    return _adjacency_impl(labels, num_labels, working_mask, compact_k,
+                           with_overflow=False)
+
+
+def _adjacency_impl(labels, num_labels, working_mask, compact_k, with_overflow):
     ns = num_labels + 1
     key = _vote_keys(labels, ns)
+    overflow = None
     if compact_k is not None:
-        votes, _ = _compact_votes(key, compact_k)
+        votes, overflow = _compact_votes(key, compact_k)
         flat_idx = votes.ravel()
     else:
         flat_idx = key.ravel()
@@ -113,6 +144,8 @@ def adjacency_matrix(
     adj = adj.at[:, 0].set(False).at[0, :].set(False)
     # no self loops
     adj = adj & (~jnp.eye(ns, dtype=bool))
+    if with_overflow:
+        return adj, overflow
     return adj
 
 
