@@ -150,6 +150,41 @@ def test_adjacency_overflow_flags_adversarial():
     np.testing.assert_array_equal(exact, compact)
 
 
+def test_contact_matrix_compact_parity():
+    # RLE (run-start keys + run lengths) preserves per-pair pixel COUNTS
+    from conftest import make_cell_labels
+    from tissue_image_processing_tpu.ops.neighbors import (
+        contact_length_matrix_checked)
+    lab = make_cell_labels(96, 128, n_seeds=40, seed=11)
+    cap = int(lab.max()) + 2
+    exact = np.asarray(contact_length_matrix(jnp.asarray(lab), num_labels=cap))
+    compact, ovf = contact_length_matrix_checked(jnp.asarray(lab),
+                                                 num_labels=cap, compact_k=64)
+    np.testing.assert_array_equal(exact, np.asarray(compact))
+    assert not bool(ovf)
+    # toy map parity (includes the boundary/sentinel edge cases)
+    lab2 = _toy_labels()
+    e2 = np.asarray(contact_length_matrix(jnp.asarray(lab2), num_labels=4))
+    c2 = np.asarray(contact_length_matrix(jnp.asarray(lab2), num_labels=4,
+                                          compact_k=16))
+    np.testing.assert_array_equal(e2, c2)
+
+
+def test_contact_matrix_compact_overflow_flag():
+    from tissue_image_processing_tpu.ops.neighbors import (
+        contact_length_matrix_checked)
+    lab = np.tile(np.arange(1, 33, dtype=np.int32), (8, 1))
+    mat, ovf = contact_length_matrix_checked(jnp.asarray(lab), num_labels=32,
+                                             compact_k=4)
+    assert bool(ovf)
+    # sufficient k is exact even on the adversarial map
+    exact = np.asarray(contact_length_matrix(jnp.asarray(lab), num_labels=32))
+    c, ovf2 = contact_length_matrix_checked(jnp.asarray(lab), num_labels=32,
+                                            compact_k=lab.shape[1])
+    assert not bool(ovf2)
+    np.testing.assert_array_equal(exact, np.asarray(c))
+
+
 def test_frame_cellinfo_compact_neighbors_parity():
     from conftest import make_cell_labels
     from tissue_image_processing_tpu.core.cell_table import frame_cellinfo

@@ -560,8 +560,16 @@ class Tissue:
 
     def calc_neighbors_contact_matrix(self, frame: int) -> np.ndarray:
         labels = self.get_labels(frame)
-        return np.asarray(contact_length_matrix(jnp.asarray(labels.astype(np.int32)),
-                                                num_labels=self.capacity))
+        lab_dev = jnp.asarray(labels.astype(np.int32))
+        # RLE-compacted scatter-add (same contract as the adjacency
+        # compaction); exact fallback on the rare >k-vote-run frame
+        from tissue_image_processing_tpu.ops.neighbors import (
+            contact_length_matrix_checked)
+        mat, overflow = contact_length_matrix_checked(
+            lab_dev, num_labels=self.capacity, compact_k=_NEIGHBOR_COMPACT_K)
+        if bool(overflow):
+            mat = contact_length_matrix(lab_dev, num_labels=self.capacity)
+        return np.asarray(mat)
 
     def calc_recoil_speed_from_circular_ablation(self, shape_name: str,
                                                  first_frame: int,

@@ -30,7 +30,8 @@ from tissue_image_processing_tpu.ops.morphology import (
 )
 
 __all__ = ["adjacency_matrix", "adjacency_matrix_checked", "adjacency_overflow",
-           "neighbor_lists", "contact_length_matrix", "second_order_adjacency"]
+           "neighbor_lists", "contact_length_matrix",
+           "contact_length_matrix_checked", "second_order_adjacency"]
 
 
 def _vote_keys(labels: jnp.ndarray, ns: int) -> jnp.ndarray:
@@ -84,6 +85,7 @@ def adjacency_overflow(labels: jnp.ndarray, num_labels: int, k: int = 192) -> jn
     return _row_overflow(_run_starts(key), k)
 
 
+@functools.partial(jax.jit, static_argnames=("num_labels", "compact_k"))
 def adjacency_matrix_checked(
     labels: jnp.ndarray,
     num_labels: int,
@@ -171,30 +173,74 @@ def neighbor_lists(adj: jnp.ndarray, max_neighbors: int = 64) -> Tuple[jnp.ndarr
     return neighbors, counts
 
 
-@functools.partial(jax.jit, static_argnames=("num_labels",))
-def contact_length_matrix(labels: jnp.ndarray, num_labels: int) -> jnp.ndarray:
+def _run_lengths(key: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) int32: at each run-START position, the length of that run
+    within its row; 0 elsewhere. Together with ``_run_starts`` this is an
+    exact RLE of the vote field (sum of lengths per key == pixel count)."""
+    H, W = key.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    chg = jnp.concatenate(
+        [jnp.ones((H, 1), bool), key[:, 1:] != key[:, :-1]], 1)
+    m = jnp.where(chg, idx, W)
+    # nm[j] = min_{j' >= j} m[j']; the NEXT change strictly after j is nm[j+1]
+    nm = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(m, 1), axis=1), 1)
+    nxt = jnp.concatenate([nm[:, 1:], jnp.full((H, 1), W, jnp.int32)], 1)
+    return jnp.where(chg, nxt - idx, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_labels", "compact_k"))
+def contact_length_matrix_checked(labels: jnp.ndarray, num_labels: int,
+                                  compact_k: int = 192):
+    """Compacted contact matrix plus its overflow flag: (mat, overflow)."""
+    return _contact_impl(labels, num_labels, compact_k, with_overflow=True)
+
+
+@functools.partial(jax.jit, static_argnames=("num_labels", "compact_k"))
+def contact_length_matrix(labels: jnp.ndarray, num_labels: int,
+                          compact_k: Optional[int] = None) -> jnp.ndarray:
     """Symmetric (N+1, N+1) float32 matrix of shared-boundary pixel counts.
 
     Matches the reference's plus-filter construction
     (``tissue_info.py:4073-4094``): boundary pixel p belongs to the pair
     (max over plus-neighbors, min over plus-neighbors with 0 treated as N+1).
+
+    ``compact_k``: RLE the piecewise-constant vote rows (run-start keys +
+    run lengths) and top_k-compact to H*k scatter-adds instead of H*W —
+    same exactness contract as ``adjacency_matrix`` (every row <= k vote
+    runs; ``contact_length_matrix_checked`` reports overflow).
     """
+    return _contact_impl(labels, num_labels, compact_k, with_overflow=False)
+
+
+def _contact_impl(labels, num_labels, compact_k, with_overflow):
     lab = labels.astype(jnp.int32)
     mx = plus_maximum_filter(lab, cval=0)
     big = num_labels + 1
     lab_nz = jnp.where(lab == 0, big, lab)
     mn = plus_minimum_filter(lab_nz, cval=0)
-    a = mx.ravel()
-    b = mn.ravel()
-    valid = (a > b) & (b > 0) & (a <= num_labels)
+    valid = (mx > mn) & (mn > 0) & (mx <= num_labels)
     ns = num_labels + 1
-    a = jnp.where(valid, a, 0)
-    b = jnp.where(valid, b, 0)
+    key = jnp.where(valid, mx * ns + mn, 0)
+    overflow = None
+    if compact_k is not None:
+        first = _run_starts(key)
+        overflow = _row_overflow(first, compact_k)
+        lens = _run_lengths(key)
+        vals, pos = jax.lax.top_k(first, min(compact_k, key.shape[1]))
+        run_len = jnp.take_along_axis(lens, pos, axis=1)
+        flat_idx = vals.ravel()
+        add = jnp.where(vals > 0, run_len, 0).ravel().astype(jnp.float32)
+    else:
+        flat_idx = key.ravel()
+        add = valid.ravel().astype(jnp.float32)
     counts = jnp.zeros((ns * ns,), jnp.float32)
-    counts = counts.at[a * ns + b].add(jnp.where(valid, 1.0, 0.0))
+    counts = counts.at[flat_idx].add(add)
     counts = counts.reshape(ns, ns)
     counts = counts.at[0, 0].set(0.0)
-    return counts + counts.T
+    counts = counts + counts.T
+    if with_overflow:
+        return counts, overflow
+    return counts
 
 
 @jax.jit
