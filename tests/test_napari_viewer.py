@@ -84,6 +84,25 @@ def _click(v, y, x):
     v.viewer.mouse_drag_callbacks[0](v.viewer, _FakeEvent(y, x))
 
 
+def test_cli_view_opens_viewer_and_saves(fake_napari, tmp_path):
+    """`cli view` is the product entry to the viewer (the reference's main
+    window): it builds the layers over the session and persists on close."""
+    from tissue_image_processing_tpu.cli import main
+
+    fake_napari.run = lambda: None  # headless: "window" closes immediately
+    movie = np.zeros((2, 1, 1, 64, 64), np.float32)
+    mp = os.path.join(str(tmp_path), "m.npy")
+    np.save(mp, movie)
+    session = os.path.join(str(tmp_path), "v.seg")
+    # seed the session with labels via the segment command
+    t = _two_cell_tissue(tmp_path, "cliview")
+    for _ in t.save(session):
+        pass
+    assert main(["view", mp, "--session", session, "--capacity", "32",
+                 "--frame", "1"]) == 0
+    assert os.path.exists(session)
+
+
 def test_viewer_builds_layers(fake_napari, tmp_path):
     v = _make_viewer(_two_cell_tissue(tmp_path, "a"))
     names = [l.name for l in v.viewer.layers]

@@ -225,6 +225,33 @@ def cmd_analyze(args):
         _embed_console({"tissue": tissue, "df": df, "args": args})
 
 
+def cmd_view(args):
+    """Open the interactive napari viewer over a session — the product form of
+    the reference's main window (``gui.py:225-1819``): channel/labels/types/
+    event layers with click modes for segmentation fixes, type changes and
+    event marking (``viz/napari_viewer.py``). Edits persist to ``--session``
+    when the window closes."""
+    import napari  # fail early with napari's own message if absent
+
+    from tissue_image_processing_tpu.viz.napari_viewer import TissueViewer
+
+    images = None
+    n = args.frames
+    if args.movie:
+        store = _load_movie(args.movie)
+        n = store.num_frames
+        data = np.asarray(store.data)          # (T, C, Z, Y, X)
+        # display the z-projected movie like the reference's projected view
+        images = data.max(axis=2) if data.ndim == 5 else data
+    tissue = _open_session(args, n)
+    viewer = TissueViewer(tissue, images=images, frame=args.frame,
+                          type_name=args.type_name)
+    viewer.mode = args.mode
+    napari.run()
+    _save_session(tissue, args)
+    return viewer
+
+
 def _embed_console(ns):
     """Live console over the session objects — the analog of the reference's
     embedded Jupyter console (``gui.py:288-298``): IPython when present,
@@ -345,6 +372,17 @@ def build_parser():
                     help="drop into a live console (IPython if installed) "
                          "with the session objects after the analysis")
     sp.set_defaults(fn=cmd_analyze)
+
+    sp = sub.add_parser("view", help="interactive napari viewer over a session")
+    common(sp)
+    sp.add_argument("--frame", type=int, default=1)
+    sp.add_argument("--mode", default="none",
+                    choices=["none", "add_line", "remove_line", "change_type",
+                             "mark_event"],
+                    help="initial click mode (reference gui.py:776-839)")
+    sp.add_argument("--type-name", default="HC",
+                    help="cell type assigned by change_type clicks")
+    sp.set_defaults(fn=cmd_view)
     return p
 
 
