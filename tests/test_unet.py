@@ -278,6 +278,21 @@ def test_quantized_unet_close_to_float():
     assert agree > 0.98, f"argmax agreement {agree:.4f}"
 
 
+def test_int8_split_conv_identity():
+    """The skip-concat split conv the int8 path relies on is an exact i32
+    identity: conv(concat([a, b]), W) = conv(a, W[:, :, :Ca]) +
+    conv(b, W[:, :, Ca:]) — no rounding involved."""
+    from tissue_image_processing_tpu.models.quant import _conv_s8
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 128, (1, 16, 16, 3)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, (1, 16, 16, 5)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 4)), jnp.int8)
+    full = _conv_s8(jnp.concatenate([a, b], axis=-1), w)
+    split = _conv_s8(a, w[:, :, :3]) + _conv_s8(b, w[:, :, 3:])
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+
+
 def test_predictor_quantized_path():
     """SegmentationPredictor(quantize=True) calibrates lazily and produces
     probabilities (hence labels) close to the bf16/f32 path."""
