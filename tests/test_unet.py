@@ -340,3 +340,39 @@ def test_row_split_conv_exact():
     assert _auto_row_split(3, 1024) == 4   # 3 does not divide 1024 -> next S
     assert _auto_row_split(8, 1024) == 1   # batch already saturates tilings
     assert _auto_row_split(1, 384) == 1    # no S with >= 128 rows per slice
+
+
+@pytest.mark.slow
+def test_int8_real_architecture_end_to_end():
+    """Certify the int8 path on the REAL product architecture (depth 3,
+    128 base filters — reference prediction_local.py:60-72): full predictor
+    surface (forward + morphology post + watershed) on a synthetic membrane
+    frame, int8 vs f32. Promoted from the round-3 scratch probe
+    (probe_verify_int8.py); the at-scale Dice certificate runs on TPU in
+    bench.py (dice_int8_vs_bf16)."""
+    from conftest import make_cell_image
+
+    h = w = 256
+    mem = make_cell_image(h, w, n_seeds=30, seed=3)
+    rng = np.random.default_rng(0)
+    marker = (0.3 * mem + 0.1 * rng.random((h, w))).astype(np.float32)
+    image = np.stack([marker, mem])  # (C=2, Y, X)
+
+    # build_unet init is seed-deterministic, so both predictors share weights
+    p_f = SegmentationPredictor(None, image.shape, dtype=jnp.float32)
+    p_q = SegmentationPredictor(None, image.shape, dtype=jnp.float32,
+                                quantize=True)
+    assert p_q.quantize, "int8 path did not activate"
+
+    lab_f, hc_f = p_f.predict(image)
+    lab_q, hc_q = p_q.predict(image)
+    hc_agree = float((np.asarray(hc_f) == np.asarray(hc_q)).mean())
+
+    # probability agreement at the forward boundary (labels are degenerate
+    # under random weights, probabilities are not)
+    padded, _ = p_f.prepare_image(image)
+    pf = np.asarray(p_f._forward(padded))
+    pq = np.asarray(p_q._forward(padded))
+    dp = float(np.abs(pf - pq).mean())
+    assert hc_agree > 0.98, f"HC mask agreement {hc_agree:.4f}"
+    assert dp < 0.05, f"forward mean |dP| {dp:.4f}"

@@ -18,7 +18,9 @@ import json
 import os
 import pickle
 import shutil
+import tempfile
 import time
+import weakref
 import zipfile
 from typing import Dict, Iterator, List, Optional
 
@@ -49,12 +51,17 @@ EVENT_TYPES = ["ablation", "division", "delamination", "differentiation",
 
 
 def get_temp_directory(name: str) -> str:
-    postfix = 1
-    temp_dir = f"{name}_temp{postfix}"
-    while os.path.exists(temp_dir):
-        postfix += 1
-        temp_dir = f"{name}_temp{postfix}"
-    return temp_dir
+    """Fresh scratch directory for per-frame swap files.
+
+    The reference numbers ``<name>_tempN`` dirs in the CWD
+    (``tissue_info.py:101-107``) and only ``clean_up()`` removes them, so
+    killed runs litter the working tree. Here the dir lives under the system
+    temp root via ``tempfile.mkdtemp`` — unique without the existence-probe
+    race — and Tissue registers a finalizer so even crashed or abandoned
+    sessions are swept on interpreter exit.
+    """
+    prefix = os.path.basename(str(name)) or "session"
+    return tempfile.mkdtemp(prefix=f"{prefix}_temp")
 
 
 def pack_archive_with_progress(dirname: str, zipname: str) -> Iterator[float]:
@@ -126,11 +133,19 @@ class Tissue:
         # the working dir. _mem[kind] = 0-based frame currently in memory.
         self._swap = bool(use_working_dir)
         self._mem = {"labels": -1, "types": -1, "data": -1}
+        self._wd_finalizer = None
         if use_working_dir:
-            self.working_dir = get_temp_directory(data_path)
-            os.makedirs(self.working_dir, exist_ok=True)
+            self._set_working_dir(get_temp_directory(data_path))
         self.stage_locations = self.load_stage_locations()
         self.height_maps = self.load_height_map()
+
+    def _set_working_dir(self, wd: str):
+        """Adopt a scratch dir and (re)register the exit/GC sweeper for it."""
+        if self._wd_finalizer is not None:
+            self._wd_finalizer.detach()
+        self.working_dir = wd
+        self._wd_finalizer = weakref.finalize(
+            self, shutil.rmtree, wd, ignore_errors=True)
 
     # ---------------- frame artifact accessors (1-based frames, like the reference)
 
@@ -467,12 +482,15 @@ class Tissue:
             self.drifts[initial_frame - 1:final_frame] = drifts
         drifts_np = self.drifts[initial_frame - 1:final_frame].astype(np.float32)
         drifts = jnp.asarray(drifts_np)
-        # trackpy's adaptive search (reference adaptive_stop=10): per-frame
-        # effective radii from the subnet-splitting recursion
+        # trackpy's adaptive search (reference adaptive_stop=10): PER-CELL
+        # effective radii from the subnet-splitting recursion (only oversized
+        # subnets shrink — lineage parity 0.9987 vs 0.992 with the per-frame
+        # scalar, docs/PERFORMANCE.md)
         from tissue_image_processing_tpu.core.tracking import (
             adaptive_effective_ranges)
         ranges = adaptive_effective_ranges(cy, cx, area, mask, drifts=drifts_np,
-                                           search_range=search_range)
+                                           search_range=search_range,
+                                           per_cell=True)
         ids = np.asarray(track_movie(
             jnp.asarray(cy), jnp.asarray(cx), jnp.asarray(area), jnp.asarray(mask),
             drifts=drifts, frame_valid=jnp.asarray(valid),
@@ -948,8 +966,7 @@ class Tissue:
 
     def _ensure_working_dir(self):
         if self.working_dir is None:
-            self.working_dir = get_temp_directory(self.data_path or "session")
-            os.makedirs(self.working_dir, exist_ok=True)
+            self._set_working_dir(get_temp_directory(self.data_path or "session"))
         return self.working_dir
 
     def _flush_to_working_dir(self):
@@ -1004,7 +1021,6 @@ class Tissue:
     def load(self, path: str) -> Iterator[float]:
         """Load a .seg archive (reference ``tissue_info.py:3731-3756``)."""
         wd = get_temp_directory(self.data_path or "session")
-        os.makedirs(wd, exist_ok=True)
         yield from unpack_archive_with_progress(path, wd)
         marker = os.path.join(wd, self._FORMAT_MARKER)
         if not os.path.isfile(marker):
@@ -1013,7 +1029,7 @@ class Tissue:
                 json.dump({"format": 1}, fp)
         if self.working_dir and os.path.isdir(self.working_dir):
             shutil.rmtree(self.working_dir, ignore_errors=True)
-        self.working_dir = wd
+        self._set_working_dir(wd)
         self._labels = [None] * self.number_of_frames
         self._cell_types = [None] * self.number_of_frames
         self._tables = [None] * self.number_of_frames
@@ -1047,6 +1063,8 @@ class Tissue:
         return
 
     def clean_up(self):
+        if self._wd_finalizer is not None:
+            self._wd_finalizer()  # idempotent; also detaches
         if self.working_dir and os.path.isdir(self.working_dir):
             shutil.rmtree(self.working_dir, ignore_errors=True)
 

@@ -133,8 +133,9 @@ class SegmentationPredictor:
                 variables = folded
                 folded_ok = True
         self.variables = variables
-        # optional int8 path (models/quant.py): ~1.26x the bf16 forward on
-        # v5e; activation scales calibrate lazily on the first batch seen
+        # optional int8 path (models/quant.py): ~1.54x the bf16 forward
+        # end-to-end on v5e (35 -> 54 fps at 1024^2, BENCH_r03);
+        # activation scales calibrate lazily on the first batch seen
         # (or explicitly via calibrate()). Requires the folded (norm="shift")
         # form.
         self.quantize = quantize and folded_ok

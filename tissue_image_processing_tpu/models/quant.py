@@ -186,12 +186,21 @@ def unet_f32_apply(variables: Dict, x: jnp.ndarray, depth: int = 3,
 
 
 def quantize_unet(variables: Dict, sample: jnp.ndarray, depth: int = 3,
-                  headroom: float = 1.0) -> Dict:
+                  headroom: float = 1.02) -> Dict:
     """Post-training quantization of folded-BN U-Net variables.
 
     ``sample``: representative (B, H, W, 2) input batch for activation
     calibration (per-tensor absmaxes; ``headroom`` scales the recorded
-    maxes). Returns a qparams tree for :func:`unet_int8_apply`.
+    maxes — the 2% default absorbs the int8 path's extra quantization noise
+    on tensors whose absmax was calibrated on the f32 twin, e.g. the
+    ConvTranspose outputs, which would otherwise clip at exactly +-127).
+    Returns a qparams tree for :func:`unet_int8_apply`.
+
+    Which scales the int8 path actually consumes: each DoubleConv stores
+    ``in_scale`` only for Conv_1 (the inter-conv requantize) — Conv_0's input
+    arrives already int8 with the PRODUCER's scale (the previous block's
+    ``out_scale``, or the two split-conv halves' scales in the up path), so a
+    Conv_0 input scale of its own would be redundant.
     """
     record: dict = {}
     _forward(variables["params"], sample, depth,
@@ -213,8 +222,9 @@ def quantize_unet(variables: Dict, sample: jnp.ndarray, depth: int = 3,
                     "wscale": s_w,
                     "bias": conv["bias"],
                     "shift": sub[f"Shift_{i}"],
-                    "in_scale": record[f"{name}/Conv_{i}"],
                 }
+                if i == 1:  # the only input scale the int8 path consumes
+                    q[f"Conv_{i}"]["in_scale"] = record[f"{name}/Conv_{i}"]
             out[name] = q
         elif name.startswith("ConvTranspose_"):
             j = name.split("_")[1]
