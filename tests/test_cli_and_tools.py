@@ -273,3 +273,49 @@ def test_external_segmentation_ingest(tmp_path):
     assert tbl is not None and int(np.asarray(tbl.area).max()) > 0
     # direct loader also accepts tiff via read_tiff path
     assert load_external_labels(t, 1, str(outdir / "missing.tif")) is None
+
+
+def test_ome_tiff_roundtrip_and_interop(tmp_path):
+    """save_tiff writes OME-XML in the first IFD (reference writes OME-TIFF,
+    basic_image_manipulations.py:162-189): exact axes/shape round-trip via the
+    JSON annotation, and — the interop contract — axes + physical pixel sizes
+    recoverable from the OME Pixels block ALONE (what Fiji/aicsimageio read)."""
+    import re
+
+    from tissue_image_processing_tpu.io.tiff import (build_ome_xml,
+                                                     parse_ome_xml, save_tiff)
+
+    rng = np.random.default_rng(0)
+    arr = (rng.random((3, 2, 6, 8)) * 1000).astype(np.uint16)
+    p = str(tmp_path / "proj.tif")
+    meta = {"SizeT": 3, "physical_size_z": 1.5, "physical_size_y": 0.1,
+            "physical_size_x": 0.1, "note": "tissue"}
+    save_tiff(p, arr, metadata=meta, axes="TCYX")
+
+    got, axes, shape, m = read_tiff(p)
+    np.testing.assert_array_equal(got, arr)
+    assert axes == "TCYX" and tuple(shape) == arr.shape
+    assert m["physical_size_x"] == 0.1 and m["note"] == "tissue"
+
+    # the description IS an OME document
+    from PIL import Image
+    with Image.open(p) as im:
+        desc = str(im.tag_v2[270])
+    assert desc.lstrip().startswith("<?xml") and "<OME" in desc
+    assert 'DimensionOrder="XYCTZ"' in desc or 'DimensionOrder="XYCZT"' in desc
+
+    # OME-core-only parse (annotation stripped): a third-party OME reader's view
+    bare = re.sub(r"<StructuredAnnotations>.*</StructuredAnnotations>", "", desc)
+    core = parse_ome_xml(bare)
+    assert core["physical_size_z"] == 1.5 and core["SizeT"] == 3
+    assert int(np.prod(core["shape"])) == arr.size
+    # the OME-derived layout maps back to the same TCZYX tensor
+    from tissue_image_processing_tpu.io.tiff import to_tczyx
+    np.testing.assert_array_equal(
+        to_tczyx(got.reshape(core["shape"]), core["axes"]),
+        to_tczyx(arr, "TCYX"))
+
+    # build_ome_xml handles placeholder axes (bare page stacks)
+    xml = build_ome_xml("QYX", (4, 6, 8), "float32", None)
+    q = parse_ome_xml(xml)
+    assert q["SizeT"] == 4 and q["axes"] == "QYX"
