@@ -1,0 +1,99 @@
+"""T-chunked streaming pipeline: chunked == unchunked, bounded memory.
+
+The reference streams any-length movies per frame (dask ``.compute()``,
+``basic_image_manipulations.py:59-62,89-159``, ``gui.py:442-444``); the TPU
+build streams in HBM-sized T-chunks with explicit carries (tracking scan
+state, boundary drift, adaptive-radius point set). These tests pin the carry
+design: splitting the movie at ANY chunk size must reproduce the whole-movie
+program's track ids, drifts and labels.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tissue_image_processing_tpu.core.pipeline import (movie_pipeline,
+                                                       movie_pipeline_chunked)
+
+
+def _movie(T=7, C=2, Z=4, H=64, W=64, seed=0):
+    """Drifting synthetic membrane movie (same recipe as bench.make_movie,
+    small)."""
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(seed)
+    n_cells = 24
+    pts = np.stack([rng.uniform(0, H, n_cells), rng.uniform(0, W, n_cells)], 1)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    depth = (Z / 2 + (Z / 4) * np.sin(yy / 31.0) * np.cos(xx / 47.0)).astype(
+        np.float32)
+    zz = np.arange(Z, dtype=np.float32).reshape(Z, 1, 1)
+    zprof = np.exp(-((zz - depth) ** 2) / 2.0)
+    frames = np.empty((T, C, Z, H, W), np.float32)
+    for t in range(T):
+        p = pts + t * np.array([1.0, -0.7]) + rng.normal(0, 0.1, pts.shape)
+        d, _ = cKDTree(p).query(np.stack([yy.ravel(), xx.ravel()], 1), k=2)
+        ridge = np.exp(-((d[:, 1] - d[:, 0]) ** 2) / 8.0).reshape(H, W)
+        frames[t, 0] = ridge[None] * zprof * 50000 + rng.normal(0, 200, (Z, H, W))
+        for c in range(1, C):
+            frames[t, c] = (1 - ridge)[None] * zprof * 20000
+    return np.clip(frames, 0, 65535).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def movie():
+    return _movie()
+
+
+@pytest.fixture(scope="module")
+def whole(movie):
+    return movie_pipeline(jnp.asarray(movie), capacity=64, block_size=31,
+                          batch=1)
+
+
+@pytest.mark.parametrize("chunk", [3, 4, 7])
+def test_chunked_matches_whole_movie(movie, whole, chunk):
+    """Track ids (the cross-chunk carry), drifts (boundary pairs) and labels
+    (per-frame work) must be identical for every chunking, including a
+    non-dividing chunk (3 -> padded tail) and chunk == T."""
+    got = movie_pipeline_chunked(movie, chunk_frames=chunk, capacity=64,
+                                 block_size=31, batch=1)
+    np.testing.assert_array_equal(got["ids"], whole["ids"])
+    np.testing.assert_allclose(got["drifts"], np.asarray(whole["drifts"]),
+                               atol=1e-4)
+    np.testing.assert_array_equal(got["labels"], np.asarray(whole["labels"]))
+    np.testing.assert_array_equal(np.asarray(got["tables"].area),
+                                  np.asarray(whole["tables"].area))
+
+
+def test_on_chunk_streams_and_bounds_memory(movie, whole):
+    """on_chunk delivers every real frame exactly once in order; with
+    keep_labels=False the result dict carries no label stack (the caller
+    persisted them)."""
+    seen = []
+
+    def sink(t0, chunk_out):
+        seen.append((t0, chunk_out["labels"].shape[0]))
+
+    got = movie_pipeline_chunked(movie, chunk_frames=4, capacity=64,
+                                 block_size=31, batch=1, on_chunk=sink,
+                                 keep_labels=False)
+    assert seen == [(0, 4), (4, 3)]
+    assert got["labels"] is None
+    np.testing.assert_array_equal(got["ids"], whole["ids"])
+
+
+def test_chunked_from_mmap_store(tmp_path, movie, whole):
+    """The product entry: a MovieStore-backed .npy memmap streams through the
+    chunked pipeline without materializing the whole movie."""
+    from tissue_image_processing_tpu.io.movie import MovieStore
+
+    p = str(tmp_path / "movie.npy")
+    store = MovieStore.create(p, movie.shape, dtype=np.float32)
+    for t in range(movie.shape[0]):
+        store.write_frame(t, movie[t])
+    store.data.flush()
+    ro = MovieStore.open(p)
+    got = movie_pipeline_chunked(ro, chunk_frames=4, capacity=64,
+                                 block_size=31, batch=1)
+    np.testing.assert_array_equal(got["ids"], whole["ids"])

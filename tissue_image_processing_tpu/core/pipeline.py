@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["movie_pipeline"]
+__all__ = ["movie_pipeline", "movie_pipeline_chunked"]
 
 
 def _flood_batch(T: int, batch: int) -> int:
@@ -34,9 +34,9 @@ def _flood_batch(T: int, batch: int) -> int:
 @functools.partial(jax.jit, static_argnames=(
     "reference_channel", "threshold", "std", "block_size", "capacity",
     "batch", "airyscan", "project"))
-def _segment_program(movie, reference_channel=0, threshold=0.2, std=3.0,
-                     block_size=101, capacity=1024, batch=2, airyscan=False,
-                     project=True):
+def _segment_program(movie, prev_ref=None, reference_channel=0, threshold=0.2,
+                     std=3.0, block_size=101, capacity=1024, batch=2,
+                     airyscan=False, project=True):
     from tissue_image_processing_tpu.core.cell_table import frame_cellinfo_checked
     from tissue_image_processing_tpu.core.tracking import compute_drift_chain
     from tissue_image_processing_tpu.ops.watershed import (
@@ -69,8 +69,15 @@ def _segment_program(movie, reference_channel=0, threshold=0.2, std=3.0,
     # can recompute any flagged frame's table with the exact scatter
     tabs, overflow = jax.vmap(lambda l: frame_cellinfo_checked(
         l, capacity=capacity, neighbor_compact_k=192))(labels)
-    drifts = compute_drift_chain(refs_t)
-    return labels, tabs, drifts, overflow
+    if prev_ref is None:
+        drifts = compute_drift_chain(refs_t)
+    else:
+        # T-chunked streaming: the previous chunk's last projected reference
+        # frame rides in on device so drift[0] is the chunk-BOUNDARY shift —
+        # the chunked drift chain concatenates to the whole-movie one exactly
+        drifts = compute_drift_chain(
+            jnp.concatenate([prev_ref[None], refs_t], axis=0))[1:]
+    return labels, tabs, drifts, overflow, refs_t[-1]
 
 
 def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
@@ -95,7 +102,7 @@ def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
     if movie.ndim != 5:
         raise ValueError(f"movie must be (T, C, Z, Y, X), got {movie.shape}")
     project = movie.shape[2] > 1
-    labels, tabs, dr, overflow = _segment_program(
+    labels, tabs, dr, overflow, _last_ref = _segment_program(
         movie, reference_channel=reference_channel, threshold=threshold,
         std=std, block_size=block_size, capacity=capacity, batch=batch,
         airyscan=airyscan, project=project)
@@ -104,7 +111,7 @@ def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
     cy, cx, area, mask = (np.asarray(tabs.cy), np.asarray(tabs.cx),
                           np.asarray(tabs.area), np.asarray(tabs.valid_mask()))
     ranges = adaptive_effective_ranges(cy, cx, area, mask, drifts=drifts,
-                                       search_range=search_range)
+                                       search_range=search_range, per_cell=True)
     ids = track_movie(jnp.asarray(cy), jnp.asarray(cx), jnp.asarray(area),
                       jnp.asarray(mask), drifts=jnp.asarray(drifts, jnp.float32),
                       search_range=search_range, memory=memory,
@@ -115,3 +122,111 @@ def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
             # (T,) bool: frames whose compacted adjacency dropped pairs —
             # recompute those frames' tables with frame_cellinfo(compact=None)
             "neighbor_overflow": np.asarray(overflow)}
+
+
+def movie_pipeline_chunked(store, *, chunk_frames: int,
+                           reference_channel: int = 0, threshold: float = 0.2,
+                           std: float = 3.0, block_size: int = 101,
+                           capacity: int = 1024, batch: int = 2,
+                           airyscan: bool = False,
+                           search_range: float = 100.0, memory: int = 3,
+                           on_chunk=None, keep_labels: bool = True):
+    """Streaming form of :func:`movie_pipeline` for movies larger than HBM.
+
+    The reference's de-facto envelope is "any length movie, streamed" (dask
+    lazy reads + per-frame ``.compute()``,
+    ``basic_image_manipulations.py:59-62,89-159``, ``gui.py:442-444``); a
+    production movie (~100 frames x 2 ch x 40 z x 2000^2 uint16 ~ 60 GB)
+    cannot ride to a 16 GB chip as one array. This driver consumes ``store``
+    (a :class:`~tissue_image_processing_tpu.io.movie.MovieStore` or any
+    (T, C, Z, Y, X) array/memmap) in ``chunk_frames``-sized T-chunks through
+    ONE compiled device program per chunk shape, carrying across boundaries:
+
+    - the tracker's explicit scan state (:class:`TrackingState`) + cumulative
+      drift, so chunked track ids == the whole-movie scan's ids exactly;
+    - the previous chunk's last projected reference frame (stays on device),
+      so ``drift[0]`` of each chunk is the true boundary shift;
+    - the adaptive-radius carry (previous frame's transformed point set), so
+      trackpy-faithful per-frame radii match the unchunked computation.
+
+    The last partial chunk is padded by repeating the final frame and masked
+    out via ``frame_valid`` so every chunk reuses the same executable.
+
+    ``on_chunk(t0, chunk_dict)`` (labels/tables/ids/drifts/overflow of the
+    REAL frames, host arrays) lets callers persist each chunk and drop it —
+    with ``keep_labels=False`` peak host memory is one chunk's labels. Returns
+    the same dict as :func:`movie_pipeline` (``labels`` is None when not
+    kept).
+    """
+    import jax as _jax
+
+    from tissue_image_processing_tpu.core.tracking import (
+        TrackingState, adaptive_effective_ranges, track_movie)
+
+    data = store.data if hasattr(store, "data") else store
+    T = data.shape[0]
+    if data.ndim != 5:
+        raise ValueError(f"movie must be (T, C, Z, Y, X), got {data.shape}")
+    C = max(1, min(int(chunk_frames), T))
+    project = data.shape[2] > 1
+    track_cap = 2 * capacity
+
+    state = TrackingState.empty(track_cap)
+    cum = jnp.zeros((2,), jnp.float32)
+    prev_pts = None
+    prev_ref = jnp.zeros((data.shape[4], data.shape[3]), jnp.float32)
+    all_ids, all_tabs, all_drifts, all_over, all_labels = [], [], [], [], []
+    for ci, t0 in enumerate(range(0, T, C)):
+        real = min(C, T - t0)
+        chunk = np.asarray(data[t0:t0 + real])
+        if real < C:  # pad the tail so the device program shape is constant
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], C - real, axis=0)], axis=0)
+        labels, tabs, dr, overflow, last_ref = _segment_program(
+            jnp.asarray(chunk), prev_ref=prev_ref,
+            reference_channel=reference_channel, threshold=threshold, std=std,
+            block_size=block_size, capacity=capacity, batch=batch,
+            airyscan=airyscan, project=project)
+        drifts = np.array(dr)  # writable host copy
+        if ci == 0:
+            drifts[0] = 0.0  # frame 0 has no predecessor (prev_ref was zeros)
+        valid = np.zeros((C,), bool)
+        valid[:real] = True
+        cy, cx, area, mask = (np.asarray(tabs.cy), np.asarray(tabs.cx),
+                              np.asarray(tabs.area),
+                              np.asarray(tabs.valid_mask()))
+        mask = mask & valid[:, None]
+        ranges, prev_pts, _ = adaptive_effective_ranges(
+            cy, cx, area, mask, drifts=drifts, search_range=search_range,
+            prev_points=prev_pts, cum_drift_init=np.asarray(cum),
+            return_carry=True, per_cell=True)
+        ids, state, cum = track_movie(
+            jnp.asarray(cy), jnp.asarray(cx), jnp.asarray(area),
+            jnp.asarray(mask), drifts=jnp.asarray(drifts, jnp.float32),
+            frame_valid=jnp.asarray(valid),
+            search_range=search_range, memory=memory, capacity=track_cap,
+            search_ranges=jnp.asarray(ranges, jnp.float32),
+            init_state=state, cum_drift_init=cum, return_state=True)
+        prev_ref = last_ref
+        ids_np = np.asarray(ids)[:real]
+        tabs_host = _jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[:real], tabs)
+        over_np = np.asarray(overflow)[:real]
+        chunk_out = {"t0": t0, "labels": np.asarray(labels)[:real],
+                     "tables": tabs_host, "ids": ids_np,
+                     "drifts": drifts[:real], "neighbor_overflow": over_np}
+        if on_chunk is not None:
+            on_chunk(t0, chunk_out)
+        if keep_labels and on_chunk is None:
+            all_labels.append(chunk_out["labels"])
+        all_ids.append(ids_np)
+        all_tabs.append(tabs_host)
+        all_drifts.append(drifts[:real])
+        all_over.append(over_np)
+    tables = _jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *all_tabs)
+    return {"labels": (np.concatenate(all_labels, 0) if all_labels else None),
+            "tables": tables,
+            "drifts": np.concatenate(all_drifts, 0),
+            "ids": np.concatenate(all_ids, 0),
+            "neighbor_overflow": np.concatenate(all_over, 0)}

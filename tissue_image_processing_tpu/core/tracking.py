@@ -182,13 +182,23 @@ def link_frames(
     sa = jnp.sqrt(jnp.maximum(area, 0.0))
     cost2 = _tracking_cost2(state.pos, state.sqrt_area,
                             jnp.stack([cy, cx], 1), sa, area_weight)
-    sr2 = search_range * search_range
-    benefit = jnp.where(cost2 < sr2, sr2 - cost2, _NEG)
+    # search_range may be a scalar (one radius for the frame) or an (M,)
+    # PER-CELL vector — trackpy's adaptive search shrinks only the oversized
+    # subnet's radius, so cells in small subnets keep the nominal radius and
+    # their null-link cost stays sr^2 (adaptive_effective_ranges
+    # per_cell=True computes the faithful per-cell values). benefit =
+    # r_c^2 - cost2 makes the auction's objective exactly the oracle's:
+    # minimize sum(cost2) with per-cell null cost r_c^2.
+    sr = jnp.asarray(search_range, jnp.float32)
+    sr2 = sr * sr
+    sr2_col = sr2[..., None] if sr.ndim else sr2
+    benefit = jnp.where(cost2 < sr2_col, sr2_col - cost2, _NEG)
     # eps-scaled phases (see auction_assignment): final eps 1e-5*sr^2 resolves
     # benefit gaps down to ~0.1 px^2 at the reference's search_range=100 — below
     # any physically meaningful link ambiguity — while the coarse first phase
     # prices unmatchable persons out in a few dozen rounds
-    person_obj = auction_assignment(benefit, mask, alive, eps=eps_factor * sr2,
+    person_obj = auction_assignment(benefit, mask, alive,
+                                    eps=eps_factor * jnp.max(sr2),
                                     max_rounds=max_rounds, cand_k=cand_k)
 
     matched = person_obj >= 0
@@ -226,7 +236,8 @@ def link_frames(
 
 @functools.partial(jax.jit, static_argnames=("memory", "area_weight",
                                              "capacity", "eps_factor",
-                                             "max_rounds", "cand_k"))
+                                             "max_rounds", "cand_k",
+                                             "return_state"))
 def track_movie(
     cy: jnp.ndarray, cx: jnp.ndarray, area: jnp.ndarray, mask: jnp.ndarray,
     drifts: Optional[jnp.ndarray] = None,
@@ -235,8 +246,11 @@ def track_movie(
     capacity: Optional[int] = None,
     eps_factor: float = 1e-5, max_rounds: int = 256, cand_k: int = 8,
     search_ranges: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Track a whole movie in one scan.
+    init_state: Optional[TrackingState] = None,
+    cum_drift_init: Optional[jnp.ndarray] = None,
+    return_state: bool = False,
+):
+    """Track a whole movie (or one T-chunk of it) in one scan.
 
     Args:
       cy, cx, area, mask: (T, N) padded per-frame cell arrays (mask = valid,
@@ -250,8 +264,18 @@ def track_movie(
         search shrinks oversized subnets' radius; adaptive_effective_ranges
         computes the faithful per-frame values on host) — overrides
         ``search_range``.
+      init_state / cum_drift_init / return_state: resumability for T-chunked
+        streaming (movies larger than HBM): pass the previous chunk's final
+        state and its accumulated (2,) drift sum, and set ``return_state=True``
+        to get ``(ids, final_state, cum_drift)`` back. The scan carry is
+        explicit state, so chunked tracking is bit-identical to one whole-movie
+        scan (tests/test_pipeline_chunked.py). For the first chunk leave both
+        None. NOTE ``drifts[0]`` of a non-first chunk must be the BOUNDARY
+        drift (last frame of the previous chunk -> first frame of this one),
+        not 0.
 
-    Returns (T, N) int32 track ids (0 where masked out).
+    Returns (T, N) int32 track ids (0 where masked out), plus
+    ``(final_state, cum_drift)`` when ``return_state``.
     """
     T, N = cy.shape
     K = capacity or 2 * N
@@ -260,6 +284,8 @@ def track_movie(
     if frame_valid is None:
         frame_valid = jnp.ones((T,), bool)
     cum = jnp.cumsum(jnp.where(frame_valid[:, None], drifts, 0.0), axis=0)
+    if cum_drift_init is not None:
+        cum = cum + cum_drift_init[None, :]
     cy_c = cy + cum[:, 0:1]
     cx_c = cx + cum[:, 1:2]
     if search_ranges is None:
@@ -281,10 +307,14 @@ def track_movie(
 
         return jax.lax.cond(fv, do_link, skip, state)
 
-    state0 = TrackingState.empty(K)
-    _, ids = jax.lax.scan(step, state0, (cy_c, cx_c, area, mask, frame_valid,
-                                         search_ranges.astype(jnp.float32)))
-    return jnp.where(mask & frame_valid[:, None], ids, 0)
+    state0 = init_state if init_state is not None else TrackingState.empty(K)
+    final_state, ids = jax.lax.scan(
+        step, state0, (cy_c, cx_c, area, mask, frame_valid,
+                       search_ranges.astype(jnp.float32)))
+    ids = jnp.where(mask & frame_valid[:, None], ids, 0)
+    if return_state:
+        return ids, final_state, cum[-1]
+    return ids
 
 
 def track_movie_nearest_pixel(labels_stack: np.ndarray, cy: np.ndarray,
@@ -424,7 +454,11 @@ def adaptive_effective_ranges(cy: np.ndarray, cx: np.ndarray, area: np.ndarray,
                               subnet_limit: int = 30,
                               adaptive_step: float = 0.95,
                               adaptive_stop: float = 10.0,
-                              area_weight: float = 0.5) -> np.ndarray:
+                              area_weight: float = 0.5,
+                              prev_points: Optional[np.ndarray] = None,
+                              cum_drift_init: Optional[np.ndarray] = None,
+                              return_carry: bool = False,
+                              per_cell: bool = False):
     """Per-frame effective search radii replicating trackpy's adaptive subnet
     handling (the reference passes ``adaptive_stop=10``,
     ``tissue_info.py:1924-1926``): connected candidate subnets larger than
@@ -436,6 +470,21 @@ def adaptive_effective_ranges(cy: np.ndarray, cx: np.ndarray, area: np.ndarray,
     radius is what actually gates links — at that radius the device auction's
     matching is exact (measured lineage parity 1.000 vs the adaptive oracle on
     700-cell frames). Returns (T,) float radii to pass as ``search_ranges``.
+
+    ``per_cell=True`` returns (T, N) PER-CELL radii instead, replicating
+    trackpy's semantics exactly: only the oversized subnet's cells (and its
+    recursive sub-subnets) shrink; small subnets keep the nominal radius and
+    hence the nominal null-link cost. The per-frame scalar mode
+    under-gates/over-prices small-subnet links, which was the bulk of the
+    0.8% lineage-parity residual of rounds 2-3 (docs/PERFORMANCE.md) — the
+    product paths pass per-cell radii.
+
+    T-chunked streaming: pass the previous chunk's carry (its last frame's
+    transformed point set + accumulated drift) as ``prev_points`` /
+    ``cum_drift_init`` and set ``return_carry=True`` to get
+    ``(ranges, last_points, cum_drift)`` back — chunked radii then equal the
+    whole-movie computation exactly. ``drifts[0]`` of a non-first chunk must
+    be the boundary drift, matching :func:`track_movie`'s convention.
     """
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components as _cc
@@ -445,8 +494,11 @@ def adaptive_effective_ranges(cy: np.ndarray, cx: np.ndarray, area: np.ndarray,
     if drifts is None:
         drifts = np.zeros((T, 2))
     cum = np.cumsum(drifts, axis=0)
-    out = np.full((T,), float(search_range))
-    prev = None
+    if cum_drift_init is not None:
+        cum = cum + np.asarray(cum_drift_init)[None, :]
+    out = (np.full((T, N), float(search_range)) if per_cell
+           else np.full((T,), float(search_range)))
+    prev = prev_points
     for t in range(T):
         rows = np.nonzero(mask[t])[0]
         # the link metric sqrt(dy^2 + dx^2 + w*(sqrt(a1)-sqrt(a2))^2) is plain
@@ -461,16 +513,54 @@ def adaptive_effective_ranges(cy: np.ndarray, cx: np.ndarray, area: np.ndarray,
             d_coo = cKDTree(cur).sparse_distance_matrix(
                 cKDTree(prev), float(search_range), output_type="coo_matrix")
             ci, ti, dist = d_coo.row, d_coo.col, d_coo.data
-            r = float(search_range)
-            while r * adaptive_step >= adaptive_stop:
-                sel = dist < r
-                g = coo_matrix((np.ones(sel.sum()), (ci[sel], m + ti[sel])),
-                               shape=(m + k, m + k))
-                ncomp, comp = _cc(g, directed=False)
-                sizes = np.bincount(comp[:m], minlength=ncomp)
-                if sizes.max(initial=0) <= subnet_limit:
-                    break
-                r *= adaptive_step
-            out[t] = r
+            if per_cell:
+                # trackpy semantics: the shrink applies per SUBNET — only the
+                # oversized component's cells (and its recursive
+                # sub-components) drop their radius; everyone else keeps the
+                # nominal one. Mirrors the exact oracle
+                # (tests/oracles.py:crocker_grier_link) so the auction's
+                # per-cell gate + null cost reproduce its objective.
+                r_cells = np.full(m, float(search_range))
+
+                def assign_radii(pair_idx, cells_scope, r):
+                    r_cells[cells_scope] = r
+                    sel = pair_idx[dist[pair_idx] < r]
+                    if sel.size == 0:
+                        return
+                    cells_in = np.unique(ci[sel])
+                    tracks_in = np.unique(ti[sel])
+                    nc, nt = cells_in.size, tracks_in.size
+                    cl = np.searchsorted(cells_in, ci[sel])
+                    tl = np.searchsorted(tracks_in, ti[sel])
+                    g = coo_matrix((np.ones(sel.size), (cl, nc + tl)),
+                                   shape=(nc + nt, nc + nt))
+                    ncomp, comp = _cc(g, directed=False)
+                    sizes = np.bincount(comp[:nc], minlength=ncomp)
+                    for c in np.nonzero(sizes > subnet_limit)[0]:
+                        if r * adaptive_step < adaptive_stop:
+                            continue
+                        cells_c = cells_in[comp[:nc] == c]
+                        sub = sel[np.isin(ci[sel], cells_c)]
+                        assign_radii(sub, cells_c, r * adaptive_step)
+
+                assign_radii(np.arange(dist.size), np.arange(m),
+                             float(search_range))
+                out[t, rows] = r_cells
+            else:
+                r = float(search_range)
+                while r * adaptive_step >= adaptive_stop:
+                    sel = dist < r
+                    g = coo_matrix((np.ones(sel.sum()), (ci[sel], m + ti[sel])),
+                                   shape=(m + k, m + k))
+                    ncomp, comp = _cc(g, directed=False)
+                    sizes = np.bincount(comp[:m], minlength=ncomp)
+                    if sizes.max(initial=0) <= subnet_limit:
+                        break
+                    r *= adaptive_step
+                out[t] = r
         prev = cur
+    if return_carry:
+        return out, prev, cum[-1] if T else (cum_drift_init
+                                             if cum_drift_init is not None
+                                             else np.zeros(2))
     return out
