@@ -126,26 +126,51 @@ def _frame_view(tissue, frame):
     mask = np.asarray(table.valid_mask())
     ids = np.asarray(table.label)
     edge_rows = tissue.detect_edge_cells(frame)
-    edge_ids = ids[edge_rows[edge_rows < ids.size]]
+    edge_row = np.zeros(ids.size, bool)
+    edge_row[edge_rows[edge_rows < ids.size]] = True
+    edge_ids = ids[edge_row]
     return dict(table=table, labels=labels, mask=mask, ids=ids,
                 valid_ids=ids[mask], edge_ids=set(edge_ids.tolist()),
+                edge_row=edge_row,
                 nbrs=np.asarray(table.neighbors), cx=np.asarray(table.cx),
                 cy=np.asarray(table.cy), types=np.asarray(table.type))
 
 
-def _neighbors_stable(view, row, gone: set, edge: set) -> bool:
-    """All of a cell's neighbors are valid tracked cells that neither disappeared nor
-    touch the border (reference ``tissue_info.py:688-696``)."""
-    nbrs = view["nbrs"][row]
-    nbrs = nbrs[nbrs > 0]
-    for nb in nbrs:
-        r = int(nb) - 1
-        if r >= view["mask"].size or not view["mask"][r]:
-            return False
-        nb_id = int(view["ids"][r])
-        if nb_id in gone or nb_id in edge:
-            return False
-    return True
+def _neighbor_fields(view):
+    """(valid_nb, ok, nb_ids, nb_edge) over the (N, K) padded adjacency: which
+    neighbor slots hold a neighbor, whether that neighbor is a valid tracked
+    row, its track id, and whether it touches the border."""
+    nbrs = view["nbrs"]
+    N = view["mask"].size
+    valid_nb = nbrs > 0
+    r = np.clip(nbrs.astype(np.int64) - 1, 0, N - 1)
+    ok = valid_nb & (nbrs - 1 < N) & view["mask"][r]
+    nb_ids = np.where(ok, view["ids"][r], 0)
+    nb_edge = ok & view["edge_row"][r]
+    return valid_nb, ok, nb_ids, nb_edge
+
+
+def _stable_rows(view, gone_arr: np.ndarray, edge_arr: np.ndarray) -> np.ndarray:
+    """(N,) bool: all of each cell's neighbors are valid tracked cells that
+    neither disappeared nor touch the border — the vectorized form of the
+    reference's per-candidate neighbor-stability loop
+    (``tissue_info.py:688-696``), one pass over the padded adjacency instead
+    of a Python loop per candidate (production scale is ~2,000 cells x 100
+    frames; see tests/test_events.py::test_event_detection_at_scale)."""
+    valid_nb, ok, nb_ids, _ = _neighbor_fields(view)
+    nb_gone = np.isin(nb_ids, gone_arr) & ok
+    nb_edge = np.isin(nb_ids, edge_arr) & ok
+    bad = valid_nb & (~ok | nb_gone | nb_edge)
+    return ~bad.any(axis=1)
+
+
+def _unique_id_rows(view) -> np.ndarray:
+    """(N,) bool: this row's track id appears on exactly one valid row (the
+    reference's ``rows.size != 1`` duplicate guard)."""
+    ids = view["ids"][view["mask"]]
+    uniq, counts = np.unique(ids, return_counts=True)
+    once = uniq[counts == 1]
+    return view["mask"] & np.isin(view["ids"], once)
 
 
 def find_events_iterator(tissue, initial_frame: int = 1, final_frame: int = -1,
@@ -183,79 +208,93 @@ def find_events_iterator(tissue, initial_frame: int = 1, final_frame: int = -1,
         start_frame = min(valid_window)
         end_frame = max(valid_window)
         if skipped < 3:
-            prev_ids = set(prev["valid_ids"].tolist())
-            cur_ids = set(cur["valid_ids"].tolist())
-            gone = prev_ids - cur_ids
-            both = prev_ids & cur_ids
-            # --- delaminations
-            for cid in sorted(gone):
-                if cid in prev["edge_ids"]:
-                    continue
-                rows = np.nonzero((prev["ids"] == cid) & prev["mask"])[0]
-                if rows.size != 1:
-                    continue
-                if _neighbors_stable(prev, rows[0], gone, prev["edge_ids"]):
-                    add_event(tissue, "delamination", start_frame, f,
-                              start_cell_id=int(cid), source="automatic")
-            # --- differentiations
-            for cid in sorted((cur_hc - prev_hc) & both):
-                rows = np.nonzero((prev["ids"] == cid) & prev["mask"])[0]
-                if rows.size != 1:
-                    continue
-                if _neighbors_stable(prev, rows[0], gone, prev["edge_ids"]):
-                    add_event(tissue, "differentiation", start_frame, end_frame,
-                              start_cell_id=int(cid), source="automatic")
-            # --- divisions
-            new_ids = cur_ids - prev_ids
+            # candidate gating is vectorized over the padded adjacency (the
+            # reference loops Python per candidate x neighbor,
+            # tissue_info.py:676-782 — ~10 ms/frame-pair at 2,000 cells here
+            # vs seconds there); event EMISSION stays a loop (events are rare)
+            gone_arr = np.setdiff1d(prev["valid_ids"], cur["valid_ids"])
+            both_arr = np.intersect1d(prev["valid_ids"], cur["valid_ids"])
+            prev_edge_arr = np.fromiter(prev["edge_ids"], dtype=np.int64,
+                                        count=len(prev["edge_ids"]))
+            cur_edge_arr = np.fromiter(cur["edge_ids"], dtype=np.int64,
+                                       count=len(cur["edge_ids"]))
+            stable = _stable_rows(prev, gone_arr, prev_edge_arr)
+            unique_prev = _unique_id_rows(prev)
+            # --- delaminations: id disappeared, off-edge, all neighbors stable
+            delam = (unique_prev & stable
+                     & np.isin(prev["ids"], gone_arr)
+                     & ~np.isin(prev["ids"], prev_edge_arr))
+            for cid in np.sort(prev["ids"][delam]):
+                add_event(tissue, "delamination", start_frame, f,
+                          start_cell_id=int(cid), source="automatic")
+            # --- differentiations: newly HC-positive, present in both frames
+            diff_ids = np.array(sorted((cur_hc - prev_hc)
+                                       & set(both_arr.tolist())), dtype=np.int64)
+            diffm = unique_prev & stable & np.isin(prev["ids"], diff_ids)
+            for cid in np.sort(prev["ids"][diffm]):
+                add_event(tissue, "differentiation", start_frame, end_frame,
+                          start_cell_id=int(cid), source="automatic")
+            # --- divisions: new id whose drift-corrected position falls in a
+            # stable neighbor's previous-frame cell
+            new_arr = np.setdiff1d(cur["valid_ids"], prev["valid_ids"])
             drift = tissue.drifts[f - 1]
-            for cid in sorted(new_ids):
-                if cid in cur["edge_ids"]:
-                    continue
-                rows = np.nonzero((cur["ids"] == cid) & cur["mask"])[0]
-                if rows.size != 1:
-                    continue
-                row = rows[0]
-                px = int(round(cur["cx"][row] + (drift[1] if np.isfinite(drift[1]) else 0)))
-                py = int(round(cur["cy"][row] + (drift[0] if np.isfinite(drift[0]) else 0)))
-                H, W = prev["labels"].shape
-                if not (0 <= px < W and 0 <= py < H):
-                    continue
-                mother_label_prev = int(prev["labels"][py, px])
-                division_detected = False
-                mother_id = None
-                daughter_end_pos = None
-                nbrs = cur["nbrs"][row]
-                for nb in nbrs[nbrs > 0]:
-                    r = int(nb) - 1
-                    if r >= cur["mask"].size or not cur["mask"][r]:
-                        division_detected = False
-                        break
-                    nb_id = int(cur["ids"][r])
-                    if nb_id in both and nb_id not in cur["edge_ids"]:
-                        nb_prev = tissue.get_cell_centroid_by_id(prev_frame_no, nb_id)
-                        if nb_prev is None:
-                            continue
-                        nx = int(round(nb_prev[0] + (drift[1] if np.isfinite(drift[1]) else 0)))
-                        ny = int(round(nb_prev[1] + (drift[0] if np.isfinite(drift[0]) else 0)))
-                        if not (0 <= nx < W and 0 <= ny < H):
-                            continue
-                        if int(prev["labels"][ny, nx]) == mother_label_prev:
-                            division_end = end_frame
-                            pos = None
-                            while pos is None and division_end >= start_frame:
-                                if tissue.is_frame_valid(division_end):
-                                    pos = tissue.get_cell_centroid_by_id(division_end,
-                                                                         int(cid))
-                                if pos is None:
-                                    division_end -= 1
-                            if pos is not None:
-                                division_detected = True
-                                mother_id = nb_id
-                                daughter_end_pos = pos
-                if division_detected:
-                    add_event(tissue, "division", start_frame, division_end,
-                              start_cell_id=int(mother_id), daughter_cell_id=int(cid),
-                              second_end_pos=daughter_end_pos, source="automatic")
+            dx = drift[1] if np.isfinite(drift[1]) else 0.0
+            dy = drift[0] if np.isfinite(drift[0]) else 0.0
+            H, W = prev["labels"].shape
+            cand = np.nonzero(_unique_id_rows(cur)
+                              & np.isin(cur["ids"], new_arr)
+                              & ~np.isin(cur["ids"], cur_edge_arr))[0]
+            cand = cand[np.argsort(cur["ids"][cand], kind="stable")]
+            if cand.size:
+                px = np.round(cur["cx"][cand] + dx).astype(np.int64)
+                py = np.round(cur["cy"][cand] + dy).astype(np.int64)
+                inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+                cand, px, py = cand[inb], px[inb], py[inb]
+            if cand.size:
+                mother_label_prev = prev["labels"][py, px]          # (n,)
+                valid_nb, ok, nb_ids, _ = _neighbor_fields(cur)
+                valid_nb, ok, nb_ids = valid_nb[cand], ok[cand], nb_ids[cand]
+                # ANY invalid neighbor kills the candidate (the reference
+                # breaks with detected=False, tissue_info.py:753-756)
+                alive = ~((valid_nb & ~ok).any(axis=1))
+                considered = (ok & np.isin(nb_ids, both_arr)
+                              & ~np.isin(nb_ids, cur_edge_arr))
+                # previous-frame centroid of each considered neighbor id:
+                # first valid prev row per id (get_cell_centroid_by_id)
+                p_ids = prev["ids"].copy()
+                p_ids[~prev["mask"]] = -1
+                order = np.argsort(p_ids, kind="stable")
+                sorted_ids = p_ids[order]
+                pos_in = np.searchsorted(sorted_ids, nb_ids)
+                pos_in = np.clip(pos_in, 0, sorted_ids.size - 1)
+                found = considered & (sorted_ids[pos_in] == nb_ids) & (nb_ids > 0)
+                prow = order[pos_in]
+                nxs = np.round(prev["cx"][prow] + dx).astype(np.int64)
+                nys = np.round(prev["cy"][prow] + dy).astype(np.int64)
+                nin = found & (nxs >= 0) & (nxs < W) & (nys >= 0) & (nys < H)
+                match = np.zeros_like(nin)
+                match[nin] = (prev["labels"][nys[nin], nxs[nin]]
+                              == np.broadcast_to(mother_label_prev[:, None],
+                                                 nin.shape)[nin])
+                match &= alive[:, None]
+                has = match.any(axis=1)
+                # the reference keeps overwriting mother_id, so the LAST
+                # matching neighbor in slot order wins
+                last_slot = match.shape[1] - 1 - np.argmax(match[:, ::-1], axis=1)
+                for i in np.nonzero(has)[0]:
+                    cid = int(cur["ids"][cand[i]])
+                    mother_id = int(nb_ids[i, last_slot[i]])
+                    division_end = end_frame
+                    pos = None
+                    while pos is None and division_end >= start_frame:
+                        if tissue.is_frame_valid(division_end):
+                            pos = tissue.get_cell_centroid_by_id(division_end, cid)
+                        if pos is None:
+                            division_end -= 1
+                    if pos is not None:
+                        add_event(tissue, "division", start_frame, division_end,
+                                  start_cell_id=mother_id, daughter_cell_id=cid,
+                                  second_end_pos=pos, source="automatic")
         prev = cur
         prev_hc = cur_hc
         prev_frame_no = f
