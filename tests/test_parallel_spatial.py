@@ -1,0 +1,90 @@
+"""("frame", "y") space-axis sharding: parity vs the unsharded projection.
+
+SURVEY §5.8's spatial mesh axis — rows of the raw z-stack shard over ``y``
+with a ppermute halo exchange and a psum-distributed exact percentile; the
+result must match ``time_point_surface_projection(precise=True)`` exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tissue_image_processing_tpu.parallel.spatial import (
+    make_space_mesh, masked_percentile_psum, sharded_projection)
+from tissue_image_processing_tpu.projection.surface import (
+    time_point_surface_projection)
+
+
+def _movie(T, C, Z, Y, X, seed=0):
+    rng = np.random.default_rng(seed)
+    m = (rng.random((T, C, Z, Y, X)) * 5000).astype(np.float32)
+    # a z-surface so the argmax structure is nontrivial
+    zz = np.arange(Z).reshape(Z, 1, 1)
+    depth = Z / 2 + (Z / 4) * np.sin(np.arange(Y) / 17.0).reshape(-1, 1)
+    m *= np.exp(-((zz - depth) ** 2))[None, None]
+    return m
+
+
+def test_masked_percentile_psum_matches_global():
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    x = (rng.random((8, 256)) * 100).astype(np.float32)
+    mask = x > 20
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    fn = jax.jit(jax.shard_map(
+        lambda xs, ms: masked_percentile_psum(xs, ms, 95.0, "y"),
+        mesh=mesh, in_specs=(P("y"), P("y")), out_specs=P(),
+        check_vma=False))
+    got = float(fn(jnp.asarray(x), jnp.asarray(mask)))
+    want = float(np.percentile(x[mask], 95.0))
+    assert abs(got - want) < 1e-4, (got, want)
+
+
+@pytest.mark.parametrize("fshards,yshards", [(2, 4), (1, 8)])
+def test_sharded_projection_parity(fshards, yshards):
+    """Tiny shapes exercise the all_gather halo fallback (halo 132 > 8-row
+    shards); the 1-hop ppermute path is covered by test_halo_exchange_1hop."""
+    T, C, Z, Y, X = 2 * fshards, 2, 4, 8 * yshards, 64
+    movie = _movie(T, C, Z, Y, X)
+    mesh = make_space_mesh(8, frame_shards=fshards)
+    fn = sharded_projection(mesh, reference_channel=0, airyscan=False)
+    with mesh:
+        proj, zmap = fn(jnp.asarray(movie))
+    proj, zmap = np.asarray(proj), np.asarray(zmap)
+    assert proj.shape == (T, C, Y, X) and zmap.shape == (T, Y, X)
+    for t in range(T):
+        want_p, want_z = time_point_surface_projection(
+            jnp.asarray(movie[t]), reference_channel=0, airyscan=False,
+            precise=True)
+        np.testing.assert_allclose(proj[t], np.asarray(want_p),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_array_equal(zmap[t], np.asarray(want_z))
+
+
+def test_halo_exchange_1hop():
+    """halo <= shard rows -> the ppermute path; parity on a 1-D blur."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from tissue_image_processing_tpu.parallel.spatial import (
+        _halo_exchange_rows)
+
+    rng = np.random.default_rng(1)
+    x = rng.random((1, 64, 32)).astype(np.float32)  # (C, Y, X), 8 rows/shard
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    halo = 5
+
+    def fn(xs):
+        ext = _halo_exchange_rows(xs, halo, "y")
+        return ext
+
+    ext = jax.jit(jax.shard_map(fn, mesh=mesh, in_specs=P(None, "y", None),
+                                out_specs=P(None, "y", None),
+                                check_vma=False))(jnp.asarray(x))
+    ext = np.asarray(ext)  # (C, 8*(halo+8+halo), X)
+    blk = halo + 8 + halo
+    padded = np.pad(x, ((0, 0), (halo, halo), (0, 0)), mode="edge")
+    for s in range(8):
+        np.testing.assert_array_equal(ext[:, s * blk:(s + 1) * blk],
+                                      padded[:, s * 8:s * 8 + blk])
