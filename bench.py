@@ -198,6 +198,7 @@ def main(argv=None):
     ranges0 = jnp.full((T,), 100.0, jnp.float32)
     ids, projs, track_data = full_program(movie_dev, ranges0)
     ids_np = np.asarray(ids)  # forces the whole chain
+    _compile_s["headline"] = round(time.time() - t_compile, 1)
     print(f"# compile + first pass: {time.time() - t_compile:.1f}s", file=sys.stderr)
 
     # trackpy's adaptive search radii from the warm pass's tables (host) — the
@@ -207,7 +208,7 @@ def main(argv=None):
     from tissue_image_processing_tpu.core.tracking import adaptive_effective_ranges
     cys_w, cxs_w, areas_w, masks_w, drifts_w = [np.asarray(x) for x in track_data]
     ranges_np = adaptive_effective_ranges(cys_w, cxs_w, areas_w, masks_w,
-                                          drifts=drifts_w)
+                                          drifts=drifts_w, per_cell=True)
     print(f"# adaptive radii: {np.round(ranges_np, 1).tolist()}", file=sys.stderr)
     ranges_dev = jnp.asarray(ranges_np, jnp.float32)
     ids, projs, track_data = full_program(movie_dev, ranges_dev)
@@ -235,6 +236,8 @@ def main(argv=None):
         "unit": "frames/sec",
         "vs_baseline": round(fps / 50.0, 3),
     }
+    if args.quick or args.headline_only:
+        result["compile_s"] = dict(_compile_s)
     if not (args.quick or args.headline_only):
         try:
             result.update(run_baseline_configs(
@@ -247,12 +250,19 @@ def main(argv=None):
     return 0
 
 
-def _timed_loop(fn, iters):
+_compile_s = {}  # per-config compile+first-pass seconds (VERDICT r3 item 6)
+
+
+def _timed_loop(fn, iters, name=None):
     """Run a jitted 0-arg device program, sync once, return seconds (tunnel
-    read overhead of ~27 ms subtracted by the caller via iters)."""
+    read overhead of ~27 ms subtracted by the caller via iters). The cold
+    first call (compile + first pass) is recorded in ``_compile_s[name]``."""
     import numpy as np
+    tc = time.time()
     out = fn()
     np.asarray(out)  # warm + sync
+    if name:
+        _compile_s[name] = round(time.time() - tc, 1)
     t0 = time.time()
     out = fn()
     np.asarray(out)
@@ -300,7 +310,7 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                 return acc + lab[0, 0].astype(jnp.float32) * 1e-20
             return jax.lax.fori_loop(0, N_IT, step, jnp.float32(0))
 
-        return round(N_IT / _timed_loop(lambda: cfg1(tiles), N_IT), 2)
+        return round(N_IT / _timed_loop(lambda: cfg1(tiles), N_IT, name="1_watershed_512"), 2)
 
     def run_cfg2():
         # 1024^2 x 30 surface projection
@@ -312,7 +322,7 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                 return acc + proj[0, 0, 0] * 1e-20
             return jax.lax.fori_loop(0, N_IT, step, jnp.float32(0))
 
-        return round(N_IT / _timed_loop(lambda: cfg2(movie_dev), N_IT), 2)
+        return round(N_IT / _timed_loop(lambda: cfg2(movie_dev), N_IT, name="2_projection_fps"), 2)
 
     from tissue_image_processing_tpu.models.unet import (UNet, build_unet,
                                                          fold_batchnorm)
@@ -342,12 +352,12 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                 return acc + pred[0, 0, 0, 0].astype(jnp.float32) * 1e-20
             return jax.lax.fori_loop(0, 2, step, jnp.float32(0))
 
-        return round(16 / _timed_loop(lambda: cfg3(variables, x8), 16), 2)
+        return round(16 / _timed_loop(lambda: cfg3(variables, x8), 16, name="3_unet_inference_fps"), 2)
 
     def run_cfg3q():
         # OPTIONAL int8 inference path (models/quant.py): post-training
         # per-channel weight + calibrated per-tensor activation quantization;
-        # v5e int8 MXU rate ~1.75x bf16 on the big convs, ~1.26x end-to-end.
+        # v5e int8 MXU rate ~1.75x bf16 on the big convs, ~1.54x end-to-end.
         # Reported separately — cfg3 stays the reference-faithful bf16 number.
         from tissue_image_processing_tpu.models.quant import (quantize_unet,
                                                               unet_int8_apply)
@@ -364,7 +374,7 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                 return acc + pred[0, 0, 0, 0].astype(jnp.float32) * 1e-20
             return jax.lax.fori_loop(0, 2, step, jnp.float32(0))
 
-        return round(16 / _timed_loop(lambda: cfg3q(q, x8), 16), 2)
+        return round(16 / _timed_loop(lambda: cfg3q(q, x8), 16, name="3q_unet_int8_fps"), 2)
 
     def run_cfg4():
         # 100-frame time-lapse watershed + tracking (adaptive radii from the
@@ -390,10 +400,12 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
             return ids, cys, cxs, areas, masks, drifts
 
         r0 = jnp.full((T100,), 100.0, jnp.float32)
+        tc = time.time()
         out = cfg4(frames100, r0)  # warm + tables for the radii
         tabs = [np.asarray(x) for x in out[1:]]
+        _compile_s["4_track100_fps"] = round(time.time() - tc, 1)
         ranges = adaptive_effective_ranges(tabs[0], tabs[1], tabs[2], tabs[3],
-                                           drifts=tabs[4])
+                                           drifts=tabs[4], per_cell=True)
         ranges_dev = jnp.asarray(ranges, jnp.float32)
         np.asarray(cfg4(frames100, ranges_dev)[0])  # warm with real radii
         t0 = time.time()
@@ -410,8 +422,18 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
             adaptive_effective_ranges)
         from tissue_image_processing_tpu.models.predictor import (
             unet_postprocess_batch)
+        from tissue_image_processing_tpu.models.quant import (quantize_unet,
+                                                              unet_int8_apply)
         from tissue_image_processing_tpu.ops.brightness import normalize_channel
         R5 = 4
+
+        # cfg5 runs the PRODUCT fast path: int8 U-Net (certified end-to-end by
+        # dice_int8_vs_bf16 below + tests/test_unet.py) — the bf16 number
+        # stays visible as cfg3. Calibration uses the warm pass's projections.
+        x_cal = jnp.stack([projs[t % T] / jnp.maximum(projs[t % T].max(), 1.0)
+                           for t in range(2)])
+        q5 = quantize_unet(variables, jnp.stack([x_cal, x_cal], axis=-1),
+                           depth=3)
 
         def cfg5_movie_pass(mv, v, ranges):
             # stage-batched, not frame-batched: projection runs per frame
@@ -426,7 +448,7 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                     s, reference_channel=0, airyscan=False)[0], mv)
             norm = jax.vmap(jax.vmap(normalize_channel))(prj)
             x = jnp.transpose(norm, (0, 3, 2, 1)).astype(jnp.bfloat16)
-            preds = model.apply(v, x, train=False)
+            preds = unet_int8_apply(v, x, depth=3)
             labels, _hc = unet_postprocess_batch(preds.astype(jnp.float32))
             tabs = jax.vmap(lambda l: frame_cellinfo(
                 l, capacity=cap, neighbor_compact_k=192))(labels)
@@ -474,7 +496,7 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         import tempfile
 
         def cfg5(ranges):
-            packed = np.asarray(cfg5_program(movie_dev, variables, ranges))
+            packed = np.asarray(cfg5_program(movie_dev, q5, ranges))
             packed = packed.reshape(R5 * T, NCOL)
             ids5 = packed[:, :cap].astype(np.int32)
             cy5, cx5, ar5, mk5 = (packed[:, (i + 1) * cap:(i + 2) * cap]
@@ -491,11 +513,14 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         # with adaptive_effective_ranges, and the default 100 px radius makes
         # the auction subnets ~30 ms/frame more expensive than tracking needs
         r0 = jnp.full((T,), 100.0, jnp.float32)
+        tc = time.time()
         warm = cfg5(r0)[:T]
+        _compile_s["5_full_movie_fps"] = round(time.time() - tc, 1)
         cy_w, cx_w, ar_w, mk_w = (warm[:, (i + 1) * cap:(i + 2) * cap]
                                   for i in range(4))
         ranges = adaptive_effective_ranges(cy_w, cx_w, ar_w, mk_w > 0.5,
-                                           drifts=warm[:, 5 * cap + 3:])
+                                           drifts=warm[:, 5 * cap + 3:],
+                                           per_cell=True)
         ranges_dev = jnp.asarray(ranges, jnp.float32)
         cfg5(ranges_dev)  # warm with real radii
         t0 = time.time()
@@ -515,7 +540,29 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                 return acc + lab[0, 0].astype(jnp.float32) * 1e-20
             return jax.lax.fori_loop(0, 5, step, jnp.float32(0))
 
-        return round(5 / _timed_loop(lambda: cfg6(big), 5), 2)
+        return round(5 / _timed_loop(lambda: cfg6(big), 5, name="6_watershed_2048"), 2)
+
+    def run_cfg7():
+        # event detection at production density (~2,000 cells, 1024^2): the
+        # vectorized candidate gating over planted synthetic events
+        # (core/events.py, utils/synthetic.py — reference tissue_info.py:636-789
+        # loops Python per candidate x neighbor). Host-side detector; the
+        # tissue build's frame_cellinfo runs on device. Reported as
+        # frame-pairs/sec.
+        from tissue_image_processing_tpu.utils.synthetic import (
+            make_tracked_tissue)
+        n_frames = 4
+        tissue, _ = make_tracked_tissue(n_frames=n_frames, size=1024,
+                                        n_cells=2000, seed=3,
+                                        delaminate=[(1000, 3)])
+        for _ in tissue.find_events_iterator(1, n_frames):  # warm numpy paths
+            pass
+        tissue.events = tissue.events.iloc[0:0]
+        t0 = time.time()
+        for _ in tissue.find_events_iterator(1, n_frames):
+            pass
+        assert len(tissue.events) >= 1  # the planted delamination
+        return round((n_frames - 1) / (time.time() - t0), 2)
 
     for name, fn in [("1_watershed_512", run_cfg1),
                      ("2_projection_fps", run_cfg2),
@@ -523,7 +570,8 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                      ("3q_unet_int8_fps", run_cfg3q),
                      ("4_track100_fps", run_cfg4),
                      ("5_full_movie_fps", run_cfg5),
-                     ("6_watershed_2048", run_cfg6)]:
+                     ("6_watershed_2048", run_cfg6),
+                     ("7_events_2000cells_pairs_per_sec", run_cfg7)]:
         if args.only and args.only not in name:
             continue
         if over_budget(name):
@@ -557,6 +605,41 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
     except Exception as e:
         print(f"# dice skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # --- accuracy: int8 vs bf16 END-TO-END (labels after the full U-Net +
+    # morphology postprocess at bench size) — the correctness certificate for
+    # cfg5's int8 fast path (VERDICT r3 item 2)
+    print("# accuracy: int8 vs bf16 label Dice ...", file=sys.stderr)
+    dice_q = None
+    try:
+        from tissue_image_processing_tpu.models.predictor import (
+            unet_postprocess_batch)
+        from tissue_image_processing_tpu.models.quant import (quantize_unet,
+                                                              unet_int8_apply)
+        x8 = jnp.stack([projs[t % T] / jnp.maximum(projs[t % T].max(), 1.0)
+                        for t in range(8)])
+        x8 = jnp.stack([x8, x8], axis=-1)
+        q = quantize_unet(variables, x8[:2], depth=3)
+
+        @jax.jit
+        def _labels_bf16(v, x):
+            p = model.apply(v, x.astype(jnp.bfloat16), train=False)
+            return unet_postprocess_batch(p.astype(jnp.float32))
+
+        @jax.jit
+        def _labels_int8(qp, x):
+            p = unet_int8_apply(qp, x, depth=3)
+            return unet_postprocess_batch(p.astype(jnp.float32))
+
+        lab_f, hc_f = map(np.asarray, _labels_bf16(variables, x8))
+        lab_q, hc_q = map(np.asarray, _labels_int8(q, x8))
+        dices = [_best_dice(lab_q[i], lab_f[i]) for i in range(lab_f.shape[0])]
+        dice_q = round(float(np.mean(dices)), 4)
+        hc_agree = round(float((hc_f == hc_q).mean()), 4)
+        print(f"# int8 vs bf16: label dice {dice_q}, HC agreement {hc_agree}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# int8 dice skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # --- accuracy: lineage parity vs the exact Crocker-Grier oracle
     print("# accuracy: lineage parity ...", file=sys.stderr)
     parity = None
@@ -588,8 +671,13 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
               file=sys.stderr)
 
     out = {"configs": configs}
+    if _compile_s:
+        out["compile_s"] = dict(_compile_s)
     if dice is not None:
         out["dice_vs_native_oracle"] = dice
+    if dice_q is not None:
+        out["dice_int8_vs_bf16"] = dice_q
+        out["hc_agreement_int8_vs_bf16"] = hc_agree
     if parity is not None:
         out["lineage_parity_vs_crocker_grier"] = parity
     return out
