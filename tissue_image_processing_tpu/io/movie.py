@@ -17,31 +17,179 @@ import numpy as np
 from tissue_image_processing_tpu.io.tiff import read_whole_image, to_tczyx
 
 
+class _LazyFrameSource:
+    """Read-only ndarray-like TCZYX view that decodes only the frames an index
+    touches. Supports the access patterns the drivers use — ``data[t]``,
+    ``data[t0:t1]``, ``data[:, c, z, ...]``, ``np.asarray(data)`` — by
+    decoding the needed T-frames and applying the trailing index to the
+    stacked host array (one frame fits in RAM even when the movie does not;
+    the streaming analog of the reference's dask ``read_virtual_image``,
+    ``basic_image_manipulations.py:59-62``)."""
+
+    ndim = 5
+
+    def __init__(self, shape, dtype):
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+
+    def _read_frame(self, t: int) -> np.ndarray:  # (C, Z, Y, X)
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __array__(self, dtype=None, copy=None):
+        out = self[:]
+        return out.astype(dtype) if dtype is not None else out
+
+    def _frame_cached(self, t: int) -> np.ndarray:
+        if t < 0:
+            t += self.shape[0]
+        if not 0 <= t < self.shape[0]:
+            raise IndexError(f"frame {t} out of range [0, {self.shape[0]})")
+        return self._read_frame(t)
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        tkey, rest = key[0], key[1:]
+        if isinstance(tkey, (int, np.integer)):
+            frame = self._frame_cached(int(tkey))
+            return frame[rest] if rest else frame
+        if isinstance(tkey, slice):
+            ts = range(*tkey.indices(self.shape[0]))
+        else:
+            ts = [int(t) for t in np.asarray(tkey).ravel()]
+        if len(ts) == 0:
+            stacked = np.empty((0,) + self.shape[1:], self.dtype)
+        else:
+            stacked = np.stack([self._frame_cached(t) for t in ts])
+        return stacked[(slice(None),) + rest] if rest else stacked
+
+
+class _TiffFrameSource(_LazyFrameSource):
+    """Lazy multi-page TIFF: the PIL file handle stays open and ``seek``
+    decodes one page at a time. Page order follows the file's axes metadata
+    (OME-XML / legacy JSON from :func:`~..io.tiff.save_tiff`); bare files
+    default to pages-as-T."""
+
+    def __init__(self, path: str):
+        from PIL import Image
+
+        from tissue_image_processing_tpu.io.tiff import (_default_axes,
+                                                         read_tiff_description)
+
+        self._im = Image.open(path)
+        meta = read_tiff_description(self._im)
+        n_pages = getattr(self._im, "n_frames", 1)
+        page_shape = (self._im.height, self._im.width)
+        axes = meta.get("axes")
+        shape = tuple(meta.get("shape") or ())
+        if not (axes and shape and len(axes) == len(shape)
+                and int(np.prod(shape[:-2], dtype=np.int64)) == n_pages):
+            shape = ((n_pages,) + page_shape) if n_pages > 1 else page_shape
+            axes = _default_axes(len(shape))
+        # (T, C, Z) array of page numbers: reshape the page counter to the
+        # file's leading axes, then normalize exactly like to_tczyx
+        pages = np.arange(n_pages).reshape(shape[:-2] or ())
+        lead = []
+        for a in axes[:-2]:
+            if a in "TCZ" and a not in lead:
+                lead.append(a)
+            else:  # placeholder axis (e.g. 'Q'): first free slot, T first
+                lead.append(next(x for x in "TCZ" if x not in lead and x not in axes[:-2]))
+        for name in "TCZ":
+            if name not in lead:
+                pages = pages[None]
+                lead.insert(0, name)
+        self._pages = np.transpose(pages, [lead.index(n) for n in "TCZ"])
+        t_sz, c_sz, z_sz = self._pages.shape
+        super().__init__((t_sz, c_sz, z_sz) + page_shape,
+                         np.array(self._im).dtype)
+
+    def _read_frame(self, t: int) -> np.ndarray:
+        planes = []
+        for p in self._pages[t].ravel():
+            self._im.seek(int(p))
+            planes.append(np.array(self._im))
+        return np.stack(planes).reshape(self.shape[1:])
+
+    def close(self):
+        self._im.close()
+
+
+class _CziFrameSource(_LazyFrameSource):
+    """Lazy CZI: planes decode per (t, c, z) through ``CziFile.read_frame``'s
+    subblock index — only the touched subblocks are read from the mmap."""
+
+    def __init__(self, path: str):
+        from tissue_image_processing_tpu.io.czi import CziFile
+
+        self._czi = CziFile.open(path)
+        super().__init__(self._czi.shape_tczyx(), self._czi.dtype)
+
+    def _read_frame(self, t: int) -> np.ndarray:
+        _, C, Z, Y, X = self.shape
+        out = np.zeros((C, Z, Y, X), self.dtype)
+        for c in range(C):
+            for z in range(Z):
+                try:
+                    out[c, z] = self._czi.read_frame(t, c, z)
+                except IndexError:
+                    pass  # truncated/sparse acquisition: leave plane zero
+        return out
+
+    def close(self):
+        self._czi.close()
+
+
 class MovieStore:
-    """A TCZYX movie backed by a numpy array or .npy memory map.
+    """A TCZYX movie backed by a numpy array, an .npy memory map, or a lazy
+    TIFF/CZI frame source.
 
     The batched pipeline pulls ``frames(t0, t1)`` slices and ships them to device
     in one transfer per batch (replacing the reference's per-frame
-    ``dask .compute()`` host materializations, e.g. ``gui.py:444``).
+    ``dask .compute()`` host materializations, e.g. ``gui.py:444``). All three
+    container formats stream: .npy via ``np.load(mmap_mode='r')``, TIFF via
+    per-page PIL decode, CZI via per-subblock reads — opening never
+    materializes the movie (pass ``lazy=False`` for the old eager decode).
     """
 
     def __init__(self, data: np.ndarray, axes: str = "TCZYX"):
         self.data = to_tczyx(data, axes)
 
     @classmethod
-    def open(cls, path: str, mmap: bool = True) -> "MovieStore":
+    def open(cls, path: str, mmap: bool = True, lazy: bool = True) -> "MovieStore":
         ext = os.path.splitext(path)[1].lower()
         if ext == ".npy" and mmap:
             arr = np.load(path, mmap_mode="r")
             axes = {5: "TCZYX", 4: "TCYX", 3: "TYX", 2: "YX"}[arr.ndim]
             return cls(np.asarray(arr), axes)
         if ext == ".czi":
+            if lazy:
+                return cls._from_source(_CziFrameSource(path))
             from tissue_image_processing_tpu.io.czi import CziFile
 
             with CziFile.open(path) as f:
                 return cls(f.read_whole(), "TCZYX")
+        if ext in (".tif", ".tiff") and lazy:
+            src = _TiffFrameSource(path)
+            if src.shape[0] * src.shape[1] * src.shape[2] == 1:
+                src.close()  # single plane: eager is simpler and as cheap
+            else:
+                return cls._from_source(src)
         arr, axes, _ = read_whole_image(path)
         return cls(arr, axes)
+
+    @classmethod
+    def _from_source(cls, source: _LazyFrameSource) -> "MovieStore":
+        store = cls.__new__(cls)
+        store.data = source
+        return store
+
+    def close(self):
+        if hasattr(self.data, "close"):
+            self.data.close()
 
     @classmethod
     def create(cls, path: str, shape, dtype=np.uint16) -> "MovieStore":

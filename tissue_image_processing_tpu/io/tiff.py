@@ -161,6 +161,20 @@ def parse_ome_xml(desc: str) -> dict:
     return meta
 
 
+def read_tiff_description(im) -> dict:
+    """Metadata dict from an open PIL image's first-IFD ImageDescription:
+    OME-XML (current format), legacy bare-JSON, or {}."""
+    try:
+        desc = im.tag_v2.get(_DESC_TAG) if hasattr(im, "tag_v2") else None
+        if desc and str(desc).lstrip().startswith("<"):
+            return parse_ome_xml(str(desc))
+        if desc:
+            return json.loads(desc)
+    except Exception:
+        pass
+    return {}
+
+
 def read_tiff(path: str):
     """Read a (multi-page) TIFF.
 
@@ -172,15 +186,7 @@ def read_tiff(path: str):
     _require_pil()
     with Image.open(path) as im:
         pages = []
-        meta = {}
-        try:
-            desc = im.tag_v2.get(_DESC_TAG) if hasattr(im, "tag_v2") else None
-            if desc and str(desc).lstrip().startswith("<"):
-                meta = parse_ome_xml(str(desc))     # OME-TIFF (current format)
-            elif desc:
-                meta = json.loads(desc)             # legacy bare-JSON files
-        except Exception:
-            meta = {}
+        meta = read_tiff_description(im)
         n = getattr(im, "n_frames", 1)
         for i in range(n):
             im.seek(i)
