@@ -67,3 +67,18 @@ def test_event_detection_at_scale():
     assert 1001 in ids and 981 in ids
     # generous CI bound; measured ~10-40 ms/pair on the virtual-mesh CPU host
     assert dt / pairs < 2.0, f"{dt / pairs:.2f}s per frame pair"
+
+
+def test_differentiation_compound_type_index():
+    """(pos_list, neg_list) tuple type indices must work like the old
+    is_positive_for_type path (cell_table.py:40)."""
+    g = 11
+    center = (g // 2) * g + g // 2
+    tissue, _ = make_tracked_tissue(n_frames=4, size=256, n_cells=120, seed=4,
+                                    differentiate=[(center, 3)])
+    for _ in tissue.find_events_iterator(
+            1, 4, differentiation_type_index=([0], [])):
+        pass
+    ev = tissue.get_events()
+    assert (center + 1) in set(ev.query('type == "differentiation"')
+                               .cell_id.astype(int)), ev.to_string()

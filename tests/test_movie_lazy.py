@@ -65,3 +65,75 @@ def test_czi_store_is_lazy_and_matches_eager(tmp_path):
     np.testing.assert_array_equal(store.frame(1), movie[1])
     np.testing.assert_array_equal(store.data[:, 0, 2], movie[:, 0, 2])
     store.close()
+
+
+def test_bool_mask_selects_frames(tmp_path):
+    path, movie = _tiff_movie(tmp_path)
+    store = MovieStore.open(path)
+    sel = np.array([True, False, True])
+    np.testing.assert_array_equal(store.data[sel], movie[sel])
+    store.close()
+
+
+def test_foreign_ome_series_member_falls_back_to_pages(tmp_path):
+    """A multi-file OME series member declares the WHOLE series' Size* in its
+    XML (Bio-Formats convention); both readers must fall back to pages-as-T
+    instead of reshaping to the foreign shape."""
+    from PIL import Image
+    from PIL.TiffImagePlugin import ImageFileDirectory_v2
+
+    from tissue_image_processing_tpu.io.tiff import build_ome_xml, read_tiff
+
+    rng = np.random.default_rng(2)
+    pages = (rng.random((2, 6, 8)) * 255).astype(np.uint8)
+    path = str(tmp_path / "series_member.tif")
+    ifd = ImageFileDirectory_v2()
+    # XML says SizeT=4 but this file holds 2 pages
+    ifd[270] = build_ome_xml("TYX", (4, 6, 8), "uint8").encode("utf-8")
+    frames = [Image.fromarray(p) for p in pages]
+    frames[0].save(path, save_all=True, append_images=frames[1:], tiffinfo=ifd)
+    arr, axes, shape, _ = read_tiff(path)
+    assert axes == "QYX" and arr.shape == (2, 6, 8)
+    np.testing.assert_array_equal(arr, pages)
+    store = MovieStore.open(path)
+    assert store.shape == (2, 1, 1, 6, 8)
+    np.testing.assert_array_equal(store.frames(0, 2)[:, 0, 0], pages)
+    store.close()
+
+
+def test_bare_pages_eager_open(tmp_path):
+    """lazy=False on a metadata-less multi-page TIFF (axes 'QYX') must open
+    too — to_tczyx maps the placeholder axis onto T."""
+    from PIL import Image
+
+    movie = (np.random.default_rng(3).random((4, 10, 12)) * 255).astype(np.uint8)
+    path = str(tmp_path / "bare2.tif")
+    frames = [Image.fromarray(p) for p in movie]
+    frames[0].save(path, save_all=True, append_images=frames[1:])
+    eager = MovieStore.open(path, lazy=False)
+    assert eager.shape == (4, 1, 1, 10, 12)
+    np.testing.assert_array_equal(np.asarray(eager.data)[:, 0, 0], movie)
+
+
+def test_too_many_axes_raises(tmp_path):
+    arr = np.zeros((2, 2, 2, 2, 4, 6), np.uint8)  # 6-D: QQQQYX
+    path = str(tmp_path / "six_d.tif")
+    save_tiff(path, arr)
+    import pytest
+
+    with pytest.raises(ValueError, match="TCZYX"):
+        MovieStore.open(path)
+
+
+def test_ome_micron_unit_survives(tmp_path):
+    """PhysicalSize*Unit must round-trip as real UTF-8 'µm' — PIL's ASCII tag
+    encoding used to mangle it to '?m' (an invalid OME UnitsLength)."""
+    from tissue_image_processing_tpu.io.tiff import read_tiff
+
+    path = str(tmp_path / "phys.tif")
+    save_tiff(path, np.zeros((2, 8, 8), np.uint16), axes="ZYX",
+              metadata={"physical_size_x": 0.1, "physical_size_z": 0.5})
+    raw = open(path, "rb").read()
+    assert "µm".encode("utf-8") in raw and b"?m" not in raw
+    _, _, _, meta = read_tiff(path)
+    assert meta["physical_size_x"] == 0.1 and meta["physical_size_z"] == 0.5

@@ -68,10 +68,12 @@ def cmd_segment(args):
 
 
 def _auto_chunk_frames(store, budget_bytes=2 << 30):
-    """Frames per chunk so one staged uint16 chunk stays under ~2 GiB of HBM
-    (the f32 intermediates inside the program peak at a few x that; 16 GB v5e
-    has room). 0 = whole movie fits."""
-    per_frame = int(np.prod(store.shape[1:])) * 2  # staged as uint16
+    """Frames per chunk so one staged chunk stays under ~2 GiB of HBM (the
+    f32 intermediates inside the program peak at a few x that; 16 GB v5e has
+    room). Chunks stage in the store's NATIVE dtype (uint16 for microscope
+    data, but f32 stores are twice that). 0 = whole movie fits."""
+    itemsize = np.dtype(getattr(store.data, "dtype", np.uint16)).itemsize
+    per_frame = int(np.prod(store.shape[1:])) * itemsize
     total = per_frame * store.num_frames
     if total <= budget_bytes:
         return 0
@@ -284,35 +286,48 @@ def cmd_warmup(args):
     T, C, Z, H, W = args.frames, args.channels_n, args.zdepth, args.size, args.size
     movie = jax.ShapeDtypeStruct((T, C, Z, H, W), jnp.uint16)
     prev_ref = jax.ShapeDtypeStruct((W, H), jnp.float32)
-    t0 = time.time()
-    _segment_program.lower(
-        movie, prev_ref=prev_ref, reference_channel=args.channel,
-        threshold=args.threshold, std=args.std, block_size=args.block_size,
-        capacity=args.capacity, batch=args.batch, project=Z > 1).compile()
-    t1 = time.time()
-    print(f"segment program ({T}x{C}x{Z}x{H}x{W}): compiled in {t1 - t0:.1f}s",
-          flush=True)
+    # compile EXACTLY the jaxprs the product paths call — movie_pipeline runs
+    # the segment program with prev_ref=None and movie_pipeline_chunked with a
+    # carried reference frame, and BOTH pass per-cell (T, capacity) radii
+    # (adaptive_effective_ranges(per_cell=True)); any aval mismatch here would
+    # miss the persistent cache and recompile inside the production run
+    for tag, pr in (("whole-movie", None), ("chunked", prev_ref)):
+        t0 = time.time()
+        _segment_program.lower(
+            movie, prev_ref=pr, reference_channel=args.channel,
+            threshold=args.threshold, std=args.std, block_size=args.block_size,
+            capacity=args.capacity, batch=args.batch, project=Z > 1).compile()
+        print(f"segment program [{tag}] ({T}x{C}x{Z}x{H}x{W}): compiled in "
+              f"{time.time() - t0:.1f}s", flush=True)
     col = jax.ShapeDtypeStruct((T, args.capacity), jnp.float32)
     mask = jax.ShapeDtypeStruct((T, args.capacity), jnp.bool_)
+    ranges = jax.ShapeDtypeStruct((T, args.capacity), jnp.float32)
+    drifts = jax.ShapeDtypeStruct((T, 2), jnp.float32)
     cap2 = 2 * args.capacity
+    t1 = time.time()
+    track_movie.lower(
+        col, col, col, mask, drifts=drifts,
+        search_range=args.search_range, memory=args.memory, capacity=cap2,
+        search_ranges=ranges).compile()
+    print(f"tracking program [whole-movie] (T={T}, cap={cap2}): compiled in "
+          f"{time.time() - t1:.1f}s", flush=True)
     state = TrackingState(
         pos=jax.ShapeDtypeStruct((cap2, 2), jnp.float32),
         sqrt_area=jax.ShapeDtypeStruct((cap2,), jnp.float32),
         track_id=jax.ShapeDtypeStruct((cap2,), jnp.int32),
         age=jax.ShapeDtypeStruct((cap2,), jnp.int32),
         next_id=jax.ShapeDtypeStruct((), jnp.int32))
+    t1 = time.time()
     track_movie.lower(
-        col, col, col, mask,
-        drifts=jax.ShapeDtypeStruct((T, 2), jnp.float32),
+        col, col, col, mask, drifts=drifts,
         frame_valid=jax.ShapeDtypeStruct((T,), jnp.bool_),
         search_range=args.search_range, memory=args.memory, capacity=cap2,
-        search_ranges=jax.ShapeDtypeStruct((T,), jnp.float32),
-        init_state=state,
+        search_ranges=ranges, init_state=state,
         cum_drift_init=jax.ShapeDtypeStruct((2,), jnp.float32),
         return_state=True).compile()
-    print(f"tracking program (T={T}, cap={cap2}): compiled in "
+    print(f"tracking program [chunked] (T={T}, cap={cap2}): compiled in "
           f"{time.time() - t1:.1f}s", flush=True)
-    print("warm cache ready: cli pipeline on this shape skips these compiles",
+    print("warm cache ready: cli pipeline on these shapes skips these compiles",
           flush=True)
 
 

@@ -183,16 +183,28 @@ def _unique_id_rows(view) -> np.ndarray:
     return view["mask"] & np.isin(view["ids"], once)
 
 
-def _hc_id_set(view, type_index: int) -> set:
-    """Track ids of cells positive for ``type_index`` — the host twin of
-    :func:`~..core.cell_table.is_positive_for_type` (the jnp version would
-    bounce the already-fetched host array back through the device)."""
-    t = view["types"][view["mask"]].astype(np.uint8)
+def _positive_mask_host(t: np.ndarray, type_index) -> np.ndarray:
+    """Host twin of :func:`~..core.cell_table.is_positive_for_type` (the jnp
+    version would bounce the already-fetched host array back through the
+    device), including the (pos_list, neg_list) tuple form."""
+    if isinstance(type_index, tuple):
+        pos_types, neg_types = type_index
+        res = np.ones(t.shape, bool)
+        for ti in pos_types:
+            res &= _positive_mask_host(t, ti)
+        for ti in neg_types:
+            res &= ~_positive_mask_host(t, ti)
+        return res
     if type_index < 0:
-        return set()
+        return np.zeros(t.shape, bool)
     bit = np.uint8(1 << type_index)
-    pos = ((t & bit) == bit) & (t != 255)
-    return set(view["valid_ids"][pos].tolist())
+    return ((t & bit) == bit) & (t != 255)
+
+
+def _hc_id_set(view, type_index) -> set:
+    """Track ids of cells positive for ``type_index``."""
+    t = view["types"][view["mask"]].astype(np.uint8)
+    return set(view["valid_ids"][_positive_mask_host(t, type_index)].tolist())
 
 
 def find_events_iterator(tissue, initial_frame: int = 1, final_frame: int = -1,

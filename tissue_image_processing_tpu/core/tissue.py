@@ -55,13 +55,19 @@ def get_temp_directory(name: str) -> str:
 
     The reference numbers ``<name>_tempN`` dirs in the CWD
     (``tissue_info.py:101-107``) and only ``clean_up()`` removes them, so
-    killed runs litter the working tree. Here the dir lives under the system
-    temp root via ``tempfile.mkdtemp`` — unique without the existence-probe
-    race — and Tissue registers a finalizer so even crashed or abandoned
-    sessions are swept on interpreter exit.
+    killed runs litter the working tree. Here ``tempfile.mkdtemp`` creates the
+    dir — unique without the existence-probe race — BESIDE the data (swap
+    files scale with the movie, and the system temp root is often a
+    RAM-backed tmpfs far smaller than imaging data), falling back to the
+    system temp root when that location is not writable; Tissue registers a
+    finalizer so abandoned sessions are swept on interpreter exit.
     """
     prefix = os.path.basename(str(name)) or "session"
-    return tempfile.mkdtemp(prefix=f"{prefix}_temp")
+    parent = os.path.dirname(os.path.abspath(str(name)))
+    try:
+        return tempfile.mkdtemp(prefix=f"{prefix}_temp", dir=parent)
+    except OSError:
+        return tempfile.mkdtemp(prefix=f"{prefix}_temp")
 
 
 def pack_archive_with_progress(dirname: str, zipname: str) -> Iterator[float]:

@@ -59,7 +59,10 @@ class _LazyFrameSource:
         if isinstance(tkey, slice):
             ts = range(*tkey.indices(self.shape[0]))
         else:
-            ts = [int(t) for t in np.asarray(tkey).ravel()]
+            tarr = np.asarray(tkey)
+            if tarr.dtype == bool:  # mask selects frames, not indices
+                tarr = np.nonzero(tarr.ravel())[0]
+            ts = [int(t) for t in tarr.ravel()]
         if len(ts) == 0:
             stacked = np.empty((0,) + self.shape[1:], self.dtype)
         else:
@@ -86,9 +89,16 @@ class _TiffFrameSource(_LazyFrameSource):
         axes = meta.get("axes")
         shape = tuple(meta.get("shape") or ())
         if not (axes and shape and len(axes) == len(shape)
-                and int(np.prod(shape[:-2], dtype=np.int64)) == n_pages):
+                and int(np.prod(shape[:-2], dtype=np.int64)) == n_pages
+                and tuple(shape[-2:]) == page_shape):
+            # no/foreign metadata (e.g. a multi-file OME series member whose
+            # XML declares the whole series' sizes): pages stream as T
             shape = ((n_pages,) + page_shape) if n_pages > 1 else page_shape
             axes = _default_axes(len(shape))
+        if len(shape) > 5:
+            raise ValueError(
+                f"cannot stream a {len(shape)}-D TIFF as a TCZYX store "
+                f"(axes {axes!r}); read it eagerly via read_tiff instead")
         # (T, C, Z) array of page numbers: reshape the page counter to the
         # file's leading axes, then normalize exactly like to_tczyx
         pages = np.arange(n_pages).reshape(shape[:-2] or ())

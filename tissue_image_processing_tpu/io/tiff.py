@@ -166,6 +166,15 @@ def read_tiff_description(im) -> dict:
     OME-XML (current format), legacy bare-JSON, or {}."""
     try:
         desc = im.tag_v2.get(_DESC_TAG) if hasattr(im, "tag_v2") else None
+        if isinstance(desc, bytes):
+            desc = desc.decode("utf-8", "replace")
+        elif isinstance(desc, str):
+            # the tag holds UTF-8 bytes (we write them so 'µm' survives on
+            # disk) but PIL decodes ASCII tags as latin-1; undo that
+            try:
+                desc = desc.encode("latin-1").decode("utf-8")
+            except (UnicodeDecodeError, UnicodeEncodeError):
+                pass
         if desc and str(desc).lstrip().startswith("<"):
             return parse_ome_xml(str(desc))
         if desc:
@@ -194,7 +203,13 @@ def read_tiff(path: str):
     arr = np.stack(pages, axis=0) if len(pages) > 1 else pages[0][None]
     axes = meta.get("axes")
     shape = meta.get("shape")
-    if axes and shape:
+    # only reshape when the metadata actually describes THIS file's pages: a
+    # multi-file OME series member carries the whole series' Size* in its XML
+    # (Bio-Formats convention), and the declared page count then exceeds the
+    # file's — fall back to pages-as-leading-axis for those
+    if (axes and shape and len(axes) == len(shape)
+            and int(np.prod(shape, dtype=np.int64)) == arr.size
+            and tuple(shape[-2:]) == arr.shape[-2:]):
         arr = arr.reshape(tuple(shape))
     elif arr.shape[0] == 1:
         arr = arr[0]
@@ -223,8 +238,12 @@ def save_tiff(path: str, image: np.ndarray, metadata: Optional[dict] = None,
     pages_arr = image.reshape((-1,) + image.shape[-2:])
     frames = [Image.fromarray(p) for p in pages_arr]
     ifd = ImageFileDirectory_v2()
+    # UTF-8 BYTES, not str: PIL encodes ASCII tags with errors='replace',
+    # which turned the OME unit 'µm' into '?m' (an invalid UnitsLength for
+    # Bio-Formats/ome-types); raw bytes pass through verbatim
     ifd[_DESC_TAG] = build_ome_xml(axes, image.shape, str(image.dtype),
-                                   metadata, name=os.path.basename(path))
+                                   metadata,
+                                   name=os.path.basename(path)).encode("utf-8")
     frames[0].save(path, save_all=True, append_images=frames[1:],
                    tiffinfo=ifd, compression=None)
 
@@ -271,10 +290,20 @@ def get_image_dimensions(path: str):
 
 def to_tczyx(image: np.ndarray, axes: str) -> np.ndarray:
     """Normalize an array to the 5-D TCZYX layout used across the pipeline
-    (the reference's movie contract, ``gui.py:442-444``)."""
+    (the reference's movie contract, ``gui.py:442-444``). Placeholder axes
+    (e.g. the 'Q' a metadata-less multi-page TIFF reads as) take the first
+    free T/C/Z slot, T first."""
     order = "TCZYX"
     arr = image
-    current = list(axes)
+    current = []
+    for a in axes:
+        if a in order and a not in current:
+            current.append(a)
+        else:
+            free = [x for x in "TCZ" if x not in axes and x not in current]
+            if not free:
+                raise ValueError(f"cannot map axes {axes!r} onto TCZYX")
+            current.append(free[0])
     for name in order:
         if name not in current:
             arr = arr[None]
