@@ -187,15 +187,22 @@ def movie_pipeline_chunked(store, *, chunk_frames: int,
             reference_channel=reference_channel, threshold=threshold, std=std,
             block_size=block_size, capacity=capacity, batch=batch,
             airyscan=airyscan, project=project)
-        drifts = np.array(dr)  # writable host copy
+        # ONE batched device->host fetch for everything the host needs (the
+        # scan state / prev_ref stay device-resident for the next chunk):
+        # through the dev tunnel each separate read costs an RTT (up to
+        # ~300 ms under load), and per-field reads dominated chunk wall time
+        tabs_host, drifts, over_np, labels_np = _jax.device_get(
+            (tabs, dr, overflow, labels))
+        drifts = np.array(drifts)  # writable host copy
         if ci == 0:
             drifts[0] = 0.0  # frame 0 has no predecessor (prev_ref was zeros)
         valid = np.zeros((C,), bool)
         valid[:real] = True
-        cy, cx, area, mask = (np.asarray(tabs.cy), np.asarray(tabs.cx),
-                              np.asarray(tabs.area),
-                              np.asarray(tabs.valid_mask()))
-        mask = mask & valid[:, None]
+        cy, cx, area = tabs_host.cy, tabs_host.cx, tabs_host.area
+        # host twin of CellTable.valid_mask (its jnp form would bounce the
+        # fetched arrays back through the device)
+        mask = ((np.asarray(tabs_host.valid) == 1)
+                & (np.asarray(tabs_host.empty_cell) == 0)) & valid[:, None]
         ranges, prev_pts, _ = adaptive_effective_ranges(
             cy, cx, area, mask, drifts=drifts, search_range=search_range,
             prev_points=prev_pts, cum_drift_init=np.asarray(cum),
@@ -209,10 +216,9 @@ def movie_pipeline_chunked(store, *, chunk_frames: int,
             init_state=state, cum_drift_init=cum, return_state=True)
         prev_ref = last_ref
         ids_np = np.asarray(ids)[:real]
-        tabs_host = _jax.tree_util.tree_map(
-            lambda x: np.asarray(x)[:real], tabs)
-        over_np = np.asarray(overflow)[:real]
-        chunk_out = {"t0": t0, "labels": np.asarray(labels)[:real],
+        tabs_host = _jax.tree_util.tree_map(lambda x: x[:real], tabs_host)
+        over_np = np.asarray(over_np)[:real]
+        chunk_out = {"t0": t0, "labels": np.asarray(labels_np)[:real],
                      "tables": tabs_host, "ids": ids_np,
                      "drifts": drifts[:real], "neighbor_overflow": over_np}
         if on_chunk is not None:

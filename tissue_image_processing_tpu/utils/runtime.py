@@ -24,7 +24,10 @@ def enable_compilation_cache(path: str = None) -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERY executable: the default 1 s floor skips the pipeline's
+        # many small sub-programs, so each new process recompiled them (~30 s
+        # of sub-threshold compiles per cli run); storage cost is trivial
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
