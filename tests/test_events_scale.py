@@ -82,3 +82,19 @@ def test_differentiation_compound_type_index():
     ev = tissue.get_events()
     assert (center + 1) in set(ev.query('type == "differentiation"')
                                .cell_id.astype(int)), ev.to_string()
+
+
+def test_differentiation_compound_type_name():
+    """The NAME path must keep the (pos, neg) tuple type_name_to_index
+    returns (it was silently dropped to bit 0 before)."""
+    g = 11
+    center = (g // 2) * g + g // 2
+    tissue, _ = make_tracked_tissue(n_frames=4, size=256, n_cells=120, seed=5,
+                                    differentiate=[(center, 3)])
+    tissue.type_names = ["HC"]
+    for _ in tissue.find_events_iterator(
+            1, 4, differentiation_type_name="('HC-pos',)"):
+        pass
+    ev = tissue.get_events()
+    assert (center + 1) in set(ev.query('type == "differentiation"')
+                               .cell_id.astype(int)), ev.to_string()

@@ -424,3 +424,47 @@ def test_recoil_speed_from_circular_ablation(tmp_path):
         tissue.calc_recoil_speed_from_circular_ablation("ellipse", 1, 2,
                                                         save_path="")
     tissue.clean_up()
+
+
+def test_orphan_scratch_dirs_swept(tmp_path):
+    """A SIGKILL'd run leaves its scratch dir behind (no finalizer ran); the
+    NEXT session for the same data must sweep dirs whose owner pid is dead —
+    and leave live-owned and marker-less dirs alone."""
+    import os
+
+    from tissue_image_processing_tpu.core.tissue import (_PID_MARKER,
+                                                         get_temp_directory)
+
+    data = tmp_path / "movie.npy"
+    data.write_bytes(b"")
+    # a dead-owner dir (pid from a long-gone process), a live-owner dir
+    # (our own pid), and a marker-less foreign dir
+    dead = tmp_path / "movie.npy_temp_dead"
+    dead.mkdir()
+    (dead / _PID_MARKER).write_text("999999999")
+    live = tmp_path / "movie.npy_temp_live"
+    live.mkdir()
+    (live / _PID_MARKER).write_text(str(os.getpid()))
+    foreign = tmp_path / "movie.npy_temp_foreign"
+    foreign.mkdir()
+
+    wd = get_temp_directory(str(data))
+    assert not dead.exists(), "dead-owner dir must be swept"
+    assert live.exists() and foreign.exists()
+    assert os.path.dirname(wd) == str(tmp_path), "scratch lives beside the data"
+    assert (tmp_path / os.path.basename(wd) / _PID_MARKER).read_text() == str(os.getpid())
+
+
+def test_pid_marker_not_archived(tmp_path):
+    from tissue_image_processing_tpu.core.tissue import (
+        _PID_MARKER, pack_archive_with_progress)
+    import zipfile
+
+    d = tmp_path / "wd"
+    d.mkdir()
+    (d / "frame_1_labels.npy").write_bytes(b"x")
+    (d / _PID_MARKER).write_text("123")
+    zp = str(tmp_path / "out.seg")
+    for _ in pack_archive_with_progress(str(d), zp):
+        pass
+    assert _PID_MARKER not in zipfile.ZipFile(zp).namelist()

@@ -214,7 +214,9 @@ def find_events_iterator(tissue, initial_frame: int = 1, final_frame: int = -1,
     ``find_events_iterator``, ``tissue_info.py:636-789``)."""
     if differentiation_type_name:
         index = tissue.type_name_to_index(differentiation_type_name)
-        if isinstance(index, int) and index >= 0:
+        # a compound name (e.g. "('HC-pos','SOX2-neg')") resolves to a
+        # (pos_list, neg_list) tuple — keep it, _positive_mask_host handles it
+        if isinstance(index, tuple) or (isinstance(index, int) and index >= 0):
             differentiation_type_index = index
     if final_frame == -1:
         final_frame = tissue.number_of_frames

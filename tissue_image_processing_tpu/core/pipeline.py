@@ -199,10 +199,9 @@ def movie_pipeline_chunked(store, *, chunk_frames: int,
         valid = np.zeros((C,), bool)
         valid[:real] = True
         cy, cx, area = tabs_host.cy, tabs_host.cx, tabs_host.area
-        # host twin of CellTable.valid_mask (its jnp form would bounce the
-        # fetched arrays back through the device)
-        mask = ((np.asarray(tabs_host.valid) == 1)
-                & (np.asarray(tabs_host.empty_cell) == 0)) & valid[:, None]
+        # valid_mask is pure operators, so on the fetched numpy table it stays
+        # on host — no device bounce
+        mask = np.asarray(tabs_host.valid_mask()) & valid[:, None]
         ranges, prev_pts, _ = adaptive_effective_ranges(
             cy, cx, area, mask, drifts=drifts, search_range=search_range,
             prev_points=prev_pts, cum_drift_init=np.asarray(cum),

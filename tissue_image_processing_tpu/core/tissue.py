@@ -64,19 +64,67 @@ def get_temp_directory(name: str) -> str:
     """
     prefix = os.path.basename(str(name)) or "session"
     parent = os.path.dirname(os.path.abspath(str(name)))
+    _sweep_orphan_temp_dirs(parent, prefix)
     try:
-        return tempfile.mkdtemp(prefix=f"{prefix}_temp", dir=parent)
+        wd = tempfile.mkdtemp(prefix=f"{prefix}_temp", dir=parent)
     except OSError:
-        return tempfile.mkdtemp(prefix=f"{prefix}_temp")
+        wd = tempfile.mkdtemp(prefix=f"{prefix}_temp")
+    try:  # ownership marker: lets the NEXT session sweep us if we are SIGKILL'd
+        with open(os.path.join(wd, _PID_MARKER), "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+    return wd
+
+
+_PID_MARKER = ".owner.pid"  # never packed into .seg archives
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True
+    return True
+
+
+def _sweep_orphan_temp_dirs(parent: str, prefix: str) -> None:
+    """Remove sibling scratch dirs whose owning process is dead.
+
+    The GC finalizer cleans normal exits, but a SIGKILL'd/OOM-killed run never
+    runs it — its dir would litter the data directory forever (the reference's
+    ``_tempN`` litter problem). Each dir carries its creator's pid; the next
+    session for the same data sweeps dirs with dead owners. Dirs WITHOUT a
+    marker are left alone (foreign/unknown)."""
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith(f"{prefix}_temp"):
+            continue
+        d = os.path.join(parent, entry)
+        try:
+            with open(os.path.join(d, _PID_MARKER)) as f:
+                pid = int(f.read().strip())
+        except (OSError, ValueError):
+            continue
+        if pid != os.getpid() and not _pid_alive(pid):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def pack_archive_with_progress(dirname: str, zipname: str) -> Iterator[float]:
     """Zip a directory, yielding percent progress (reference
-    ``tissue_info.py:110-131``)."""
+    ``tissue_info.py:110-131``). The scratch dir's pid ownership marker is
+    never archived (it would come back stale on load)."""
     files = []
     total = 0
     for root, _, names in os.walk(dirname):
         for fname in names:
+            if fname == _PID_MARKER:
+                continue
             path = os.path.join(root, fname)
             files.append(path)
             total += os.path.getsize(path)
@@ -1028,6 +1076,11 @@ class Tissue:
         """Load a .seg archive (reference ``tissue_info.py:3731-3756``)."""
         wd = get_temp_directory(self.data_path or "session")
         yield from unpack_archive_with_progress(path, wd)
+        try:  # a legacy archive may carry a stale pid marker: re-own it
+            with open(os.path.join(wd, _PID_MARKER), "w") as fp:
+                fp.write(str(os.getpid()))
+        except OSError:
+            pass
         marker = os.path.join(wd, self._FORMAT_MARKER)
         if not os.path.isfile(marker):
             self._migrate_legacy_types_dir(wd)

@@ -61,6 +61,10 @@ class _LazyFrameSource:
         else:
             tarr = np.asarray(tkey)
             if tarr.dtype == bool:  # mask selects frames, not indices
+                if tarr.shape != (self.shape[0],):
+                    raise IndexError(
+                        f"boolean index of shape {tarr.shape} does not match "
+                        f"the frame axis length {self.shape[0]}")
                 tarr = np.nonzero(tarr.ravel())[0]
             ts = [int(t) for t in tarr.ravel()]
         if len(ts) == 0:
@@ -96,6 +100,7 @@ class _TiffFrameSource(_LazyFrameSource):
             shape = ((n_pages,) + page_shape) if n_pages > 1 else page_shape
             axes = _default_axes(len(shape))
         if len(shape) > 5:
+            self._im.close()  # don't leak the handle on the error path
             raise ValueError(
                 f"cannot stream a {len(shape)}-D TIFF as a TCZYX store "
                 f"(axes {axes!r}); read it eagerly via read_tiff instead")
