@@ -97,3 +97,22 @@ def test_chunked_from_mmap_store(tmp_path, movie, whole):
     got = movie_pipeline_chunked(ro, chunk_frames=4, capacity=64,
                                  block_size=31, batch=1)
     np.testing.assert_array_equal(got["ids"], whole["ids"])
+
+
+def test_chunked_pipeline_from_lazy_tiff_store(tmp_path):
+    """The chunked driver must consume a LAZY TIFF MovieStore (per-page
+    decode) and reproduce the in-memory array run exactly."""
+    from tissue_image_processing_tpu.io.movie import MovieStore, _TiffFrameSource
+    from tissue_image_processing_tpu.io.tiff import save_tiff
+
+    movie = _movie(T=5).astype(np.uint16)
+    path = str(tmp_path / "movie.tif")
+    save_tiff(path, movie, axes="TCZYX")
+    store = MovieStore.open(path)
+    assert isinstance(store.data, _TiffFrameSource)
+    kw = dict(capacity=128, batch=1, search_range=30.0)
+    got = movie_pipeline_chunked(store, chunk_frames=2, **kw)
+    want = movie_pipeline(jnp.asarray(movie), **kw)
+    np.testing.assert_array_equal(got["ids"], want["ids"])
+    np.testing.assert_array_equal(got["labels"], want["labels"])
+    store.close()
