@@ -137,3 +137,31 @@ def test_ome_micron_unit_survives(tmp_path):
     assert "µm".encode("utf-8") in raw and b"?m" not in raw
     _, _, _, meta = read_tiff(path)
     assert meta["physical_size_x"] == 0.1 and meta["physical_size_z"] == 0.5
+
+
+def test_large_image_projection_decodes_each_frame_once(tmp_path, monkeypatch):
+    """The XY tile loop must not re-decode a lazy store per tile: slicing
+    store.data[..., y0:, x0:] decodes ALL frames at full resolution for every
+    tile. The driver decodes each frame once and tiles the host array."""
+    from tissue_image_processing_tpu.projection.driver import (
+        large_image_projection)
+
+    path, movie = _tiff_movie(tmp_path, T=2, C=1, Z=3, Y=32, X=32)
+    calls = []
+    orig = _TiffFrameSource._read_frame
+
+    def counting(self, t):
+        calls.append(t)
+        return orig(self, t)
+
+    monkeypatch.setattr(_TiffFrameSource, "_read_frame", counting)
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    assert large_image_projection(str(tmp_path), out, "movie.tif",
+                                  chunk_size=16) == 1
+    # 2x2 tiles per frame, 2 frames: exactly one decode per frame
+    assert sorted(calls) == [0, 1], calls
+    proj = str(tmp_path / "out" / "movie_projection.tif")
+    assert os.path.isfile(proj)

@@ -63,6 +63,32 @@ def test_sharded_projection_parity(fshards, yshards):
         np.testing.assert_array_equal(zmap[t], np.asarray(want_z))
 
 
+def test_clip_percentile_mirrors_subsampling_above_limit():
+    """Above _EXACT_SORT_LIMIT global elements the unsharded masked_percentile
+    subsamples strided rows; clip_percentile_sharded must select the same
+    global rows so the sharded clip value matches at production sizes too."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from tissue_image_processing_tpu.ops.percentile import (_EXACT_SORT_LIMIT,
+                                                            masked_percentile)
+    from tissue_image_processing_tpu.parallel.spatial import (
+        clip_percentile_sharded)
+
+    Z, Y, X = 6, 1024, 768                      # 4.7M > 4.19M limit
+    assert Z * Y * X > _EXACT_SORT_LIMIT
+    rng = np.random.default_rng(2)
+    vol = (rng.random((Z, Y, X)) * 5000).astype(np.float32)
+    want = float(masked_percentile(jnp.asarray(vol), jnp.asarray(vol > 0),
+                                   95.0))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("y",))
+    fn = jax.jit(jax.shard_map(
+        lambda v: clip_percentile_sharded(v, v > 0, 95.0, "y"),
+        mesh=mesh, in_specs=P(None, "y", None), out_specs=P(),
+        check_vma=False))
+    got = float(fn(jnp.asarray(vol)))
+    assert got == want, (got, want)
+
+
 def test_halo_exchange_1hop():
     """halo <= shard rows -> the ppermute path; parity on a 1-D blur."""
     from jax.sharding import Mesh, PartitionSpec as P

@@ -125,6 +125,44 @@ def test_event_detection_division():
     assert (divs.daughter_id > 0).all()
 
 
+def test_event_detection_division_under_drift():
+    """Division with nonzero frame drift: the neighbor lookup must use the
+    neighbor's CURRENT-frame centroid + drift (the same cur->prev convention
+    as the candidate itself, reference ``tissue_info.py:757-767``). Joining to
+    the previous-frame centroid double-applies the drift, which at 6 px/frame
+    on 10-px cells lands the mother lookup in the cell above — assigning the
+    division to the wrong mother."""
+    T, shift = 5, 6
+    tissue = Tissue(T, "drift_division", channel_names=["zo"], capacity=64)
+    for f in range(1, T + 1):
+        lab = grid_labels()
+        if f >= 3:
+            # split cell 15 into top (keeps label 15) / bottom (new label 37)
+            ys, _ = np.nonzero(lab == 15)
+            mid = (ys.min() + ys.max()) // 2
+            new = lab.max() + 1
+            rows = np.arange(lab.shape[0])[:, None]
+            lab[(lab == 15) & (rows > mid)] = new
+            lab[(lab == 15) & (rows == mid)] = 0
+        lab = np.roll(lab, (f - 1) * shift, axis=0)
+        tissue.set_labels(f, lab)
+        tissue.calculate_frame_cellinfo(f)
+    # content moves +shift rows per frame: cur coords + drift = prev coords.
+    # Track ids are the (frame-consistent) segmentation labels — running the
+    # tracker here would be ambiguous by construction (both halves of the
+    # split sit nearest the mother's old centroid), and this test targets
+    # event detection, not assignment.
+    tissue.drifts[1:] = (-float(shift), 0.0)
+    t3 = tissue.get_cells_info(3)
+    mother_id = int(np.asarray(t3.label)[14])    # top half keeps seg label 15
+    daughter_id = int(np.asarray(t3.label)[36])  # bottom half is seg label 37
+    tissue.find_events()
+    divs = tissue.get_events().query('type == "division"')
+    assert daughter_id in set(int(v) for v in divs.daughter_id.values)
+    row = divs[divs.daughter_id == daughter_id].iloc[0]
+    assert int(row.cell_id) == mother_id
+
+
 def test_event_detection_differentiation():
     tissue = make_tissue(T=6)
     tissue.track_cells()

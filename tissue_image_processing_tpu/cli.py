@@ -149,6 +149,10 @@ def cmd_pipeline(args):
     print(f"pipeline: {store.num_frames} frames, "
           f"{int((ids[0] > 0).sum())} cells in frame 1, "
           f"{n_tracked} tracks", flush=True)
+    if overflow_frames:
+        print("adjacency overflow: frames "
+              f"{', '.join(map(str, overflow_frames))} recomputed with the "
+              "exact neighbor scatter", flush=True)
     if args.events:
         for _ in tissue.find_events_iterator(1, store.num_frames):
             pass

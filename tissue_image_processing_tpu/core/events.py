@@ -286,26 +286,25 @@ def find_events_iterator(tissue, initial_frame: int = 1, final_frame: int = -1,
                 cand, px, py = cand[inb], px[inb], py[inb]
             if cand.size:
                 mother_label_prev = prev["labels"][py, px]          # (n,)
-                valid_nb, ok, nb_ids, _ = _neighbor_fields(cur)
-                valid_nb, ok, nb_ids = valid_nb[cand], ok[cand], nb_ids[cand]
+                nbrs = cur["nbrs"][cand]
+                Ncur = cur["mask"].size
+                valid_nb = nbrs > 0
+                r = np.clip(nbrs.astype(np.int64) - 1, 0, Ncur - 1)
+                ok = valid_nb & (nbrs - 1 < Ncur) & cur["mask"][r]
+                nb_ids = np.where(ok, cur["ids"][r], 0)
                 # ANY invalid neighbor kills the candidate (the reference
                 # breaks with detected=False, tissue_info.py:753-756)
                 alive = ~((valid_nb & ~ok).any(axis=1))
                 considered = (ok & np.isin(nb_ids, both_arr)
                               & ~np.isin(nb_ids, cur_edge_arr))
-                # previous-frame centroid of each considered neighbor id:
-                # first valid prev row per id (get_cell_centroid_by_id)
-                p_ids = prev["ids"].copy()
-                p_ids[~prev["mask"]] = -1
-                order = np.argsort(p_ids, kind="stable")
-                sorted_ids = p_ids[order]
-                pos_in = np.searchsorted(sorted_ids, nb_ids)
-                pos_in = np.clip(pos_in, 0, sorted_ids.size - 1)
-                found = considered & (sorted_ids[pos_in] == nb_ids) & (nb_ids > 0)
-                prow = order[pos_in]
-                nxs = np.round(prev["cx"][prow] + dx).astype(np.int64)
-                nys = np.round(prev["cy"][prow] + dy).astype(np.int64)
-                nin = found & (nxs >= 0) & (nxs < W) & (nys >= 0) & (nys < H)
+                # the neighbor's CURRENT-frame centroid + frame drift addresses
+                # the previous-frame label image — the same px/py convention as
+                # the candidate itself (reference tissue_info.py:757-767;
+                # joining to the prev-frame centroid would double-apply drift)
+                nxs = np.round(cur["cx"][r] + dx).astype(np.int64)
+                nys = np.round(cur["cy"][r] + dy).astype(np.int64)
+                nin = considered & (nb_ids > 0) \
+                    & (nxs >= 0) & (nxs < W) & (nys >= 0) & (nys < H)
                 match = np.zeros_like(nin)
                 match[nin] = (prev["labels"][nys[nin], nxs[nin]]
                               == np.broadcast_to(mother_label_prev[:, None],

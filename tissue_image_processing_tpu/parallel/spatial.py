@@ -45,8 +45,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tissue_image_processing_tpu.ops.filters import gaussian_blur
+from tissue_image_processing_tpu.ops.percentile import _EXACT_SORT_LIMIT
 
-__all__ = ["make_space_mesh", "sharded_projection", "masked_percentile_psum"]
+__all__ = ["make_space_mesh", "sharded_projection", "masked_percentile_psum",
+           "clip_percentile_sharded"]
 
 def make_space_mesh(n_devices: Optional[int] = None,
                     frame_shards: Optional[int] = None) -> Mesh:
@@ -103,6 +105,31 @@ def masked_percentile_psum(x: jnp.ndarray, mask: jnp.ndarray, q,
     v_hi = find(jnp.minimum(lo + 1, jnp.maximum(n - 1, 0)))
     val = v_lo * (1.0 - frac) + v_hi * frac
     return jnp.where(n > 0, val, 0.0)
+
+
+def clip_percentile_sharded(ref: jnp.ndarray, mask: jnp.ndarray, q,
+                            axis_name: str) -> jnp.ndarray:
+    """Percentile of a row-sharded (Z, Yl, X) volume matching the UNSHARDED
+    ``ops.percentile.masked_percentile`` at every size: above
+    ``_EXACT_SORT_LIMIT`` global elements the unsharded path takes the
+    percentile on a strided row subsample, so select the SAME global rows here
+    (global row number = z * Y_global + y_global) before the exact distributed
+    bisection — otherwise the sharded and single-chip clip values (and hence
+    argmax-z and the zmap) diverge at production sizes (~40 x 2000^2)."""
+    n_y = jax.lax.axis_size(axis_name)
+    Z, Yl, X = ref.shape
+    total = Z * Yl * n_y * X
+    if total > _EXACT_SORT_LIMIT:
+        stride = -(-total // _EXACT_SORT_LIMIT)
+        idx = jax.lax.axis_index(axis_name)
+        gy = idx * Yl + jnp.arange(Yl, dtype=jnp.int32)[None, :]
+        grow = jnp.arange(Z, dtype=jnp.int32)[:, None] * (Yl * n_y) + gy
+        if X >= 128:  # whole-row subsample (the unsharded fast path)
+            mask = mask & ((grow % stride) == 0)[..., None]
+        else:         # element-strided subsample
+            gflat = grow[..., None] * X + jnp.arange(X, dtype=jnp.int32)
+            mask = mask & ((gflat % stride) == 0)
+    return masked_percentile_psum(ref, mask, q, axis_name)
 
 
 def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis_name: str):
@@ -162,7 +189,7 @@ def _project_block(img: jnp.ndarray, axis_name: str,
     channels, z_size = img.shape[0], img.shape[1]
 
     ref = img[reference_channel]
-    p95 = masked_percentile_psum(ref, ref > 0, 95.0, axis_name)
+    p95 = clip_percentile_sharded(ref, ref > 0, 95.0, axis_name)
     ref = jnp.where((ref > p95) & (p95 > 0), p95, ref)
     # radius = int(4*sigma + 0.5) (scipy), per stage
     ref = _blur_with_halo(ref, (0.5, 1.0, 1.0), 4, axis_name)
@@ -205,7 +232,9 @@ def sharded_projection(
     ``movie``: (T, C, Z, Y, X); T divisible by the frame axis, Y by the y
     axis. Output matches ``time_point_surface_projection(..., precise=True,
     airyscan=..., atoh_shift=...)`` exactly, including at edges (each stencil
-    exchanges its own halo of its own input; parity test in
+    exchanges its own halo of its own input) and at production sizes above
+    ``_EXACT_SORT_LIMIT`` (the 95%-clip mirrors the unsharded strided-row
+    subsampling policy, selecting the same global rows; parity tests in
     tests/test_parallel_spatial.py). Reference pipeline:
     ``surface_projection.py:17-85``.
     """

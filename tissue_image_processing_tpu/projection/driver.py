@@ -212,15 +212,21 @@ def large_image_projection(
     cs = chunk_size or max(Y, X)
     projection = np.zeros((T, C, Y, X), np.float32)
     zmap = np.zeros((T, Y, X), np.int32)
-    for y0 in range(0, Y, cs):
-        for x0 in range(0, X, cs):
-            chunk = store.data[:, :, :, y0:y0 + cs, x0:x0 + cs]
-            proj, zm = project_movie_array(
-                np.asarray(chunk), reference_channel=reference_channel, method=method,
-                bin_size=bin_size, build_manifold=build_manifold, min_z=min_z,
-                max_z=max_z, airyscan=airyscan, atoh_shift=channels_shift)
-            projection[:, :, y0:y0 + cs, x0:x0 + cs] = proj
-            zmap[:, y0:y0 + cs, x0:x0 + cs] = zm
+    # frame-major tiling: decode each frame ONCE and slice tiles from the host
+    # array — slicing a lazy TIFF/CZI store per XY tile (data[..., y0:, x0:])
+    # would re-decode the full-resolution frame for every tile, turning the
+    # huge-fixed-sample path this tiling exists for into O(n_tiles) decodes
+    for t in range(T):
+        frame = store.frame(t)  # (C, Z, Y, X)
+        for y0 in range(0, Y, cs):
+            for x0 in range(0, X, cs):
+                chunk = frame[None, :, :, y0:y0 + cs, x0:x0 + cs]
+                proj, zm = project_movie_array(
+                    chunk, reference_channel=reference_channel, method=method,
+                    bin_size=bin_size, build_manifold=build_manifold, min_z=min_z,
+                    max_z=max_z, airyscan=airyscan, atoh_shift=channels_shift)
+                projection[t, :, y0:y0 + cs, x0:x0 + cs] = proj[0]
+                zmap[t, y0:y0 + cs, x0:x0 + cs] = zm[0]
     postfix = "." + input_file_name.split(".")[-1]
     proj_name = os.path.join(output_dir, input_file_name.replace(postfix, "_projection.tif"))
     zmap_name = os.path.join(output_dir, input_file_name.replace(postfix, "_zmap.npy"))
