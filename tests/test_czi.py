@@ -38,7 +38,24 @@ def _entry_dv(pixel_type, file_pos, dims, compression=0) -> bytes:
     return out
 
 
-def write_czi(path, planes):
+def _compressed_payload(px, compression, hilo=False):
+    """zstd0 (5): a bare zstd stream. zstd1 (6): [header size][chunk id 1]
+    [hi-lo flag] + zstd stream; with hi-lo packing the 16-bit samples split
+    into all-low-bytes-then-all-high-bytes before compression."""
+    import zstandard
+
+    data = px.tobytes()
+    if compression == 5:
+        return zstandard.ZstdCompressor().compress(data)
+    assert compression == 6
+    if hilo:
+        b = np.frombuffer(data, np.uint8)
+        packed = np.concatenate([b[0::2], b[1::2]]).tobytes()
+        return bytes([3, 1, 1]) + zstandard.ZstdCompressor().compress(packed)
+    return bytes([1]) + zstandard.ZstdCompressor().compress(data)
+
+
+def write_czi(path, planes, compression=0, hilo=False):
     """planes: list of (dims dict, 2-D ndarray). Emits subblocks + directory +
     metadata + file header in ZISRAW layout."""
     body = b""
@@ -48,8 +65,9 @@ def write_czi(path, planes):
     entries = []
     for dims, px in planes:
         pt = _PT[px.dtype]
-        entry = _entry_dv(pt, 0, dims)
-        data = px.tobytes()
+        entry = _entry_dv(pt, 0, dims, compression=compression)
+        data = (px.tobytes() if compression == 0
+                else _compressed_payload(px, compression, hilo))
         hdr = struct.pack("<ii", 0, 0) + struct.pack("<q", len(data))
         pad = max(256, 16 + len(entry)) - 16 - len(entry)
         payload = hdr + entry + b"\x00" * pad + data
@@ -60,7 +78,7 @@ def write_czi(path, planes):
     dir_pos = base + len(body)
     dir_payload = struct.pack("<i", len(entries)) + b"\x00" * 124
     for (pt, dims), pos in zip(entries, positions):
-        dir_payload += _entry_dv(pt, pos, dims)
+        dir_payload += _entry_dv(pt, pos, dims, compression=compression)
     body += _segment(b"ZISRAWDIRECTORY", dir_payload)
     # metadata
     meta_pos = base + len(body)
@@ -155,19 +173,71 @@ def test_czi_sparse_acquisition_tolerated(tmp_path):
     np.testing.assert_array_equal(got[2, 0, 0], p2)
 
 
-def test_czi_compressed_rejected(tmp_path):
+def test_czi_jpegxr_rejected_with_conversion_path(tmp_path):
     path = os.path.join(str(tmp_path), "c.czi")
     px = np.zeros((8, 8), np.uint16)
     planes = [({"X": (0, 8), "Y": (0, 8)}, px)]
     write_czi(path, planes)
-    # flip the directory entry's compression field by rewriting the file with
-    # compression=4 (JpegXR)
-    raw = open(path, "rb").read()
     with CziFile.open(path) as f:
-        f.subblocks[0].compression = 4
-        with pytest.raises(ValueError, match="compressed"):
+        f.subblocks[0].compression = 4  # JpegXrFile — no codec available
+        with pytest.raises(ValueError, match="JPEG-XR.*MIGRATION"):
             f._subblock_pixels(f.subblocks[0])
-    del raw
+
+
+@pytest.mark.parametrize("compression,hilo", [(5, False), (6, False), (6, True)])
+def test_czi_zstd_roundtrip(tmp_path, compression, hilo):
+    """zstd0 / zstd1 (with and without hi-lo byte packing) decode to the same
+    TCZYX array as an uncompressed write — ZEN's default codecs since 2019."""
+    path = os.path.join(str(tmp_path), f"z{compression}{int(hilo)}.czi")
+    planes, vol = make_movie_planes(T=2, C=1, Z=2, Y=24, X=32, seed=7)
+    write_czi(path, planes, compression=compression, hilo=hilo)
+    got = read_czi(path)
+    np.testing.assert_array_equal(got, vol)
+    with CziFile.open(path) as f:
+        assert f.subblocks[0].compression == compression
+        np.testing.assert_array_equal(f.read_frame(1, 0, 1), vol[1, 0, 1])
+
+
+def test_czi_zstd_gray8_and_float(tmp_path):
+    """zstd roundtrip for the non-16-bit pixel types (no hi-lo packing)."""
+    for dtype, comp in [(np.uint8, 5), (np.float32, 6)]:
+        path = os.path.join(str(tmp_path), f"z_{np.dtype(dtype).name}.czi")
+        rng = np.random.default_rng(11)
+        px = (rng.random((16, 16)) * 200).astype(dtype)
+        write_czi(path, [({"X": (0, 16), "Y": (0, 16)}, px)], compression=comp)
+        got = read_czi(path)
+        np.testing.assert_array_equal(got[0, 0, 0], px)
+
+
+def test_czi_zstd_lazy_store_streams(tmp_path):
+    """A zstd-compressed CZI streams through the lazy MovieStore: only the
+    touched frame's subblocks decode."""
+    from tissue_image_processing_tpu.io.movie import MovieStore, _CziFrameSource
+
+    path = os.path.join(str(tmp_path), "lazy_z.czi")
+    planes, vol = make_movie_planes(T=3, C=2, Z=2, Y=16, X=16, seed=9)
+    write_czi(path, planes, compression=6, hilo=True)
+    store = MovieStore.open(path)
+    assert isinstance(store.data, _CziFrameSource)
+    np.testing.assert_array_equal(store.frame(2), vol[2])
+    np.testing.assert_array_equal(np.asarray(store.data), vol)
+    store.close()
+
+
+def test_czi_zstd1_corrupt_header(tmp_path):
+    from tissue_image_processing_tpu.io.czi import _zstd_decode
+
+    with pytest.raises(ValueError, match="empty zstd1"):
+        _zstd_decode(b"", 8, 2, zstd1=True)
+    with pytest.raises(ValueError, match="corrupt zstd1"):
+        _zstd_decode(bytes([200, 1, 1]), 8, 2, zstd1=True)
+    with pytest.raises(ValueError, match="unknown zstd1"):
+        _zstd_decode(bytes([3, 7, 0]) + b"x", 8, 2, zstd1=True)
+    import zstandard
+
+    stream = zstandard.ZstdCompressor().compress(b"\x00" * 8)
+    with pytest.raises(ValueError, match="only defined for 16-bit"):
+        _zstd_decode(bytes([3, 1, 1]) + stream, 8, 4, zstd1=True)
 
 
 def test_czi_series_to_store(tmp_path):

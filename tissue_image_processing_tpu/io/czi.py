@@ -12,8 +12,11 @@ this module parses the ZISRAW container directly:
 - Subblock payload: ``{MetadataSize i32 | AttachmentSize i32 | DataSize i64 |
   DirectoryEntryDV}`` padded so data starts at ``max(256, 16 + entry_size)``.
 
-Supported: uncompressed subblocks (compression 0) of Gray8/Gray16/Gray32Float —
-what the lab's acquisitions use. Compressed subblocks raise a clear error.
+Supported: uncompressed subblocks (compression 0) and zstd-compressed ones
+(compression 5 "zstd0" and 6 "zstd1", including zstd1's hi-lo byte packing) of
+Gray8/Gray16/Gray32Float — real ZEN acquisitions default to zstd. JPEG /
+JPEG-XR subblocks have no codec in this environment and raise with a
+documented conversion path (docs/MIGRATION.md).
 
 Reads are lazy: the directory is parsed once; each ``read_frame``/slice mmaps
 only the subblocks intersecting the request (the dask-virtual-read equivalent,
@@ -37,6 +40,63 @@ _PIXEL_DTYPES = {
     1: np.dtype("uint16"),     # Gray16
     2: np.dtype("float32"),    # Gray32Float
 }
+
+
+def _zstd_decode(raw: bytes, nbytes: int, itemsize: int, zstd1: bool) -> bytes:
+    """Decode a zstd0 (compression 5) / zstd1 (compression 6) subblock payload.
+
+    zstd1 prepends a small header to the zstd stream: byte 0 is the total
+    header size, followed by (chunk-id, payload) pairs; the only defined chunk
+    (id 1, 1-byte payload) flags "hi-lo byte packing" — the encoder split each
+    16-bit sample and stored all low bytes before all high bytes (better zstd
+    ratios on gradient-heavy microscopy data), so decoding re-interleaves.
+    The reference reads compressed CZIs through aicsimageio/Bio-Formats
+    (``readwrite.py:19-69``); here zstd decodes natively via ``zstandard``.
+    """
+    try:
+        import zstandard
+    except ImportError as e:  # pragma: no cover - zstandard ships in the env
+        raise ValueError(
+            "zstd-compressed CZI subblock but the 'zstandard' module is not "
+            "installed — `pip install zstandard` or re-export uncompressed"
+        ) from e
+    hilo = False
+    if zstd1:
+        if not raw:
+            raise ValueError("empty zstd1 subblock payload")
+        hsize = raw[0]
+        if hsize < 1 or hsize > len(raw):
+            raise ValueError(f"corrupt zstd1 header (declared size {hsize})")
+        p = 1
+        while p < hsize:
+            chunk_id = raw[p]
+            p += 1
+            if chunk_id == 1:
+                if p >= hsize:
+                    raise ValueError("truncated zstd1 hi-lo packing chunk")
+                hilo = bool(raw[p] & 1)
+                p += 1
+            else:
+                # chunk sizes are not self-describing; an unknown id means a
+                # newer writer — fail loudly rather than misread pixels
+                raise ValueError(f"unknown zstd1 header chunk id {chunk_id}")
+        raw = raw[hsize:]
+    out = zstandard.ZstdDecompressor().decompress(
+        raw, max_output_size=max(nbytes, 1))
+    if len(out) != nbytes:
+        raise ValueError(f"zstd subblock decoded to {len(out)} bytes, "
+                         f"expected {nbytes}")
+    if hilo:
+        if itemsize != 2:
+            raise ValueError(
+                "zstd1 hi-lo byte packing is only defined for 16-bit pixels")
+        b = np.frombuffer(out, np.uint8)
+        half = b.size // 2
+        inter = np.empty(b.size, np.uint8)
+        inter[0::2] = b[:half]   # low bytes first in the packed stream
+        inter[1::2] = b[half:]
+        out = inter.tobytes()
+    return out
 
 
 @dataclass
@@ -191,11 +251,6 @@ class CziFile:
     # -- lazy reads -----------------------------------------------------------
 
     def _subblock_pixels(self, sb: SubBlock) -> np.ndarray:
-        if sb.compression != 0:
-            raise ValueError(
-                f"compressed CZI subblock (compression={sb.compression}) — "
-                "only uncompressed ZISRAW is supported; convert with Zeiss "
-                "tools or Bio-Formats first")
         mm = self._mm
         pos = sb.file_position
         sid, _, _ = self._segment_header(mm, pos)
@@ -207,8 +262,22 @@ class CziFile:
         data_off = pos + 32 + max(256, 16 + entry_size) + meta_size
         dt = _PIXEL_DTYPES[sb.pixel_type]
         h, w = sb.size("Y"), sb.size("X")
-        arr = np.frombuffer(mm, dtype=dt, count=h * w, offset=data_off)
-        return arr.reshape(h, w)
+        if sb.compression == 0:
+            arr = np.frombuffer(mm, dtype=dt, count=h * w, offset=data_off)
+            return arr.reshape(h, w)
+        if sb.compression in (5, 6):  # zstd0 / zstd1 — the ZEN default codecs
+            raw = bytes(mm[data_off:data_off + data_size])
+            buf = _zstd_decode(raw, h * w * dt.itemsize, dt.itemsize,
+                               zstd1=(sb.compression == 6))
+            return np.frombuffer(buf, dtype=dt, count=h * w).reshape(h, w)
+        name = {1: "JPEG", 2: "LZW", 4: "JPEG-XR"}.get(
+            sb.compression, f"unknown ({sb.compression})")
+        raise ValueError(
+            f"CZI subblock uses {name} compression, which has no available "
+            "codec in this environment — re-export from ZEN with zstd or no "
+            "compression, or convert once with Bio-Formats "
+            "(`bfconvert in.czi out.ome.tiff`); see docs/MIGRATION.md "
+            "'Compressed CZI files'")
 
     def read_frame(self, t: int = 0, c: int = 0, z: int = 0,
                    s: int = 0) -> np.ndarray:
