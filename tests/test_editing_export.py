@@ -64,6 +64,54 @@ def test_remove_segmentation_line_merges_cells():
     assert lab2[mid_y, boundary_col] > 0  # line gone
 
 
+def test_undo_roundtrip_bitexact():
+    """add -> remove -> undo -> undo restores the original frame bit-exactly:
+    labels, table (track ids, areas, types) and the cell-types map. The
+    'remove' undo must restore the merge — not just recompute the table
+    (reference undo, tissue_info.py:2977-2999)."""
+    tissue = make_tissue(T=1)
+    tissue.type_names = ["HC"]
+    lab0 = tissue.get_labels(1)
+    marker = np.ones(lab0.shape, np.float32)
+    marker[lab0 == 15] = 1000.0
+    tissue.calc_cell_types(marker, 1, "HC", threshold=0.3)
+    ed = SegmentationEditor(tissue)
+    labels_orig = tissue.get_labels(1).copy()
+    table_orig = tissue.get_cells_info(1)
+    types_orig = tissue.get_cell_types(1).copy()
+
+    ys, xs = np.nonzero(labels_orig == 15)
+    mid_y = (ys.min() + ys.max()) // 2
+    # action 1: split cell 15 horizontally
+    ed.add_segmentation_line(1, (xs.min(), mid_y), initial=True)
+    ed.add_segmentation_line(1, (xs.max(), mid_y), point2=(xs.min(), mid_y))
+    ed.add_segmentation_line(1, (xs.max(), mid_y), final=True)
+    labels_split = tissue.get_labels(1).copy()
+    table_split = tissue.get_cells_info(1)
+    assert (labels_split != labels_orig).any()
+    # action 2: merge cells 15 and 16 (remove their shared vertical boundary)
+    ed.remove_segmentation_line(1, (xs.max() + 1, ys.min() + 1))
+    assert (tissue.get_labels(1) != labels_split).any()
+
+    # undo the remove: the split state returns exactly (merge restored)
+    assert ed.undo_last_action(1) == 1
+    np.testing.assert_array_equal(tissue.get_labels(1), labels_split)
+    got = tissue.get_cells_info(1)
+    for field in ("label", "area", "type", "cx", "cy", "empty_cell"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, field)),
+                                      np.asarray(getattr(table_split, field)))
+    # undo the add: the original frame returns exactly
+    assert ed.undo_last_action(1) == 1
+    np.testing.assert_array_equal(tissue.get_labels(1), labels_orig)
+    got = tissue.get_cells_info(1)
+    for field in ("label", "area", "type", "cx", "cy", "empty_cell"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, field)),
+                                      np.asarray(getattr(table_orig, field)))
+    np.testing.assert_array_equal(tissue.get_cell_types(1), types_orig)
+    # stack exhausted
+    assert ed.undo_last_action(1) == 0
+
+
 def test_change_cell_type_and_invalid():
     tissue = make_tissue(T=1)
     tissue.type_names = ["HC"]

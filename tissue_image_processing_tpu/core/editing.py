@@ -100,55 +100,151 @@ def find_nearest_segmentation_pixel(labels: np.ndarray, point, distance_limit: i
 
 class SegmentationEditor:
     """Stateful editing session over a Tissue (replaces the GUI click state machine,
-    reference ``gui.py:776-839`` + ``tissue_info.py:2647-3027``)."""
+    reference ``gui.py:776-839`` + ``tissue_info.py:2647-3027``).
+
+    Every completed action (add line, remove line) pushes a sparse patch —
+    the changed pixels' old values plus the pre-edit table and cell-types
+    rows — onto an undo stack, so ``undo_last_action`` restores the frame
+    BIT-EXACTLY (labels, track ids, types) for any depth of undo. The
+    reference keeps only a single-level undo and reconstructs a removed line
+    from −1 sentinel pixels (``tissue_info.py:2977-2999``); recording the
+    patch instead also restores the merged cell's row bookkeeping.
+    """
 
     def __init__(self, tissue):
         self.tissue = tissue
         self.last_added_line: List[Tuple[int, int]] = []
         self.last_action: List[str] = []
-        self._labels_before = None
-        self._labels_before_line: List[int] = []
+        self._undo_stack: List[dict] = []
+        self._pending: Optional[dict] = None  # open (multi-click) action
         self._neighbors_labels: List[int] = []
         self._line_pixels: List[Tuple[int, int]] = []
+
+    # ------------- undo patches
+
+    @property
+    def _labels_before(self) -> Optional[np.ndarray]:
+        """Pre-edit label map of the action being built (line-end snapping and
+        the split-cell vote both read the map as it was before any segment of
+        the current line was drawn)."""
+        return self._pending["labels"] if self._pending else None
+
+    def _begin_action(self, frame: int, action: str):
+        labels = self.tissue.get_labels(frame)
+        types_map = self.tissue.get_cell_types(frame)
+        self._pending = {
+            "action": action, "frame": frame, "labels": labels.copy(),
+            "table": self.tissue.get_cells_info(frame),
+            "types_map": None if types_map is None else types_map.copy()}
+        self.last_action.append(action)
+
+    def _commit_action(self):
+        """Close the pending action: diff the frame against its pre-edit
+        snapshot and keep only the changed pixels."""
+        pre = self._pending
+        self._pending = None
+        if pre is None:
+            return
+        frame = pre["frame"]
+        entry = {"action": pre["action"], "frame": frame,
+                 "table": pre["table"]}
+        now = self.tissue.get_labels(frame)
+        changed = now != pre["labels"]
+        ys, xs = np.nonzero(changed)
+        entry["pixels"] = (ys, xs, pre["labels"][ys, xs])
+        types_now = self.tissue.get_cell_types(frame)
+        if pre["types_map"] is not None and types_now is not None:
+            tchanged = types_now != pre["types_map"]
+            tys, txs = np.nonzero(tchanged)
+            entry["type_pixels"] = (tys, txs, pre["types_map"][tys, txs])
+        self._undo_stack.append(entry)
+
+    def undo_last_action(self, frame: int) -> int:
+        """Revert the most recent completed action on ``frame`` — labels,
+        table (including track ids and types) and the cell-types map all
+        return to their exact pre-edit state."""
+        if self._pending is not None and self._pending["frame"] == frame:
+            self._commit_action()  # undo of a half-drawn line: close it first
+        while self.last_action and self.last_action[-1] not in ("add", "remove"):
+            self.last_action.pop()
+        if not self._undo_stack or self._undo_stack[-1]["frame"] != frame:
+            return 0
+        entry = self._undo_stack.pop()
+        if self.last_action:
+            self.last_action.pop()
+        labels = self.tissue.get_labels(frame)
+        ys, xs, old = entry["pixels"]
+        labels[ys, xs] = old
+        self.tissue.set_labels(frame, labels)
+        self.tissue.set_cells_info(frame, entry["table"])
+        if "type_pixels" in entry:
+            types_map = self.tissue.get_cell_types(frame)
+            tys, txs, told = entry["type_pixels"]
+            types_map[tys, txs] = told
+            self.tissue.set_cell_types(frame, types_map)
+        return 1
 
     # ------------- add line (split a cell)
 
     def add_segmentation_line(self, frame: int, point1, point2=None,
                               initial: bool = False, final: bool = False) -> int:
+        """Draw one segment of a (possibly multi-click) boundary polyline.
+
+        Protocol (the GUI drag protocol, reference ``gui.py:776-839``):
+        ``initial=True`` opens the line at ``point1``; each further call draws
+        ``point2 -> point1``; ``final=True`` closes it. Free ends snap to the
+        nearest pre-edit boundary pixel so the new line separates a region.
+        A ``point1`` farther than MAX_SEG_LINE_LENGTH from ``point2`` is
+        treated as a stray click: the line closes at ``point2`` instead and 1
+        is returned (callers start a new line). On close, the cell the line
+        crossed — majority pre-edit label under the drawn pixels — is split
+        into connected components. (Reference ``add_segmentation_line``,
+        ``tissue_info.py:2647-2682``, rethought: the split cell is voted from
+        the whole line against the pre-edit map rather than from per-click
+        2x2 neighborhoods of the mutating one.)
+        """
         labels = self.tissue.get_labels(frame)
         if labels is None:
             return 0
-        x1, y1 = int(point1[0]), int(point1[1])
         if initial:
-            self._labels_before = labels.copy()
+            self._begin_action(frame, "add")
             self._line_pixels = []
-        points_too_far = False
+            self.last_added_line.append((int(point1[0]), int(point1[1])))
+        stray_click = False
+        end = (int(point1[0]), int(point1[1]))
         if point2 is not None:
-            x2, y2 = int(point2[0]), int(point2[1])
-            if (x1 - x2) ** 2 + (y1 - y2) ** 2 > MAX_SEG_LINE_LENGTH ** 2:
-                x1, y1 = x2, y2
-                point2 = None
-                points_too_far = True
-                final = True
-        if point2 is None:
-            x2, y2 = find_nearest_segmentation_pixel(self._labels_before, (x1, y1))
-        former_label = int(labels[max(y1 - 1, 0):y1 + 1, max(x1 - 1, 0):x1 + 1].max())
-        if initial:
-            self.last_added_line.append((x1, y1))
-            self.last_action.append("add")
-            self._labels_before_line = [former_label] if former_label > 0 else []
-        elif not final and former_label > 0:
-            self._labels_before_line.append(former_label)
-        rr, cc = draw_line(y1, x1, y2, x2)
+            start = (int(point2[0]), int(point2[1]))
+            gap2 = (end[0] - start[0]) ** 2 + (end[1] - start[1]) ** 2
+            if gap2 > MAX_SEG_LINE_LENGTH ** 2:
+                stray_click, final = True, True
+                end, start = start, None  # close at the previous point
+        else:
+            start = None
+        if start is None:
+            snapped = find_nearest_segmentation_pixel(self._labels_before, end)
+            start = end
+            end = snapped
+        rr, cc = draw_line(start[1], start[0], end[1], end[0])
         labels[rr, cc] = 0
         self._line_pixels.extend(zip(rr.tolist(), cc.tolist()))
         cell_types = self.tissue.get_cell_types(frame)
         if cell_types is not None:
             cell_types[rr, cc] = 255
-        if final and self._labels_before_line:
-            label_before = int(np.bincount(self._labels_before_line).argmax())
-            self._update_after_line_addition(frame, label_before)
-        return int(points_too_far)
+        if final:
+            self._finish_added_line(frame)
+        return int(stray_click)
+
+    def _finish_added_line(self, frame: int):
+        """Vote the split cell from the drawn pixels and relabel, then seal
+        the undo patch."""
+        if self._line_pixels and self._labels_before is not None:
+            ys, xs = np.array(self._line_pixels).T
+            under = self._labels_before[ys, xs]
+            under = under[under > 0]
+            if under.size:
+                split_label = int(np.bincount(under).argmax())
+                self._update_after_line_addition(frame, split_label)
+        self._commit_action()
 
     def _update_after_line_addition(self, frame: int, cell_label: int):
         """Split the edited cell into connected components and refresh its table rows
@@ -228,7 +324,7 @@ class SegmentationEditor:
         if point[0] is None:
             return 0
         if not part_of_undo:
-            self.last_action.append("remove")
+            self._begin_action(frame, "remove")
         self._neighbors_labels = []
         H, W = labels.shape
         removed = []
@@ -266,6 +362,8 @@ class SegmentationEditor:
         first = self._neighbors_labels[0] if self._neighbors_labels else 0
         second = self._neighbors_labels[1] if len(self._neighbors_labels) > 1 else first
         self._merge_cells(frame, first, second, part_of_undo)
+        if not part_of_undo:
+            self._commit_action()
         return 0
 
     def _merge_cells(self, frame: int, cell1: int, cell2: int, part_of_undo=False):
@@ -346,14 +444,3 @@ class SegmentationEditor:
         self.tissue.update_cell_types_by_cells_info(frame)
         return 0
 
-    def undo_last_action(self, frame: int) -> int:
-        if not self.last_action:
-            return 0
-        last = self.last_action.pop()
-        if last == "add" and self._labels_before is not None:
-            self.tissue.set_labels(frame, self._labels_before.copy())
-            self.tissue.calculate_frame_cellinfo(frame)
-        elif last == "remove":
-            # re-adding the removed line is ambiguous without history; recompute
-            self.tissue.calculate_frame_cellinfo(frame)
-        return 1
