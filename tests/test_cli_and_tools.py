@@ -319,3 +319,39 @@ def test_ome_tiff_roundtrip_and_interop(tmp_path):
     xml = build_ome_xml("QYX", (4, 6, 8), "float32", None)
     q = parse_ome_xml(xml)
     assert q["SizeT"] == 4 and q["axes"] == "QYX"
+
+
+def test_cli_pipeline_unet(tmp_path):
+    """`cli pipeline --unet [--quantize]`: the fused proj->UNet->postprocess->
+    track program as a one-command product path (reference GUI U-Net workflow,
+    gui.py:1391-1407), streamed in chunks, session populated."""
+    from tissue_image_processing_tpu.cli import main
+    from tissue_image_processing_tpu.core.tissue import Tissue
+
+    movie = _grid_movie(tmp_path, T=4)
+    session = os.path.join(tmp_path, "u.seg")
+    args = ["pipeline", movie, "--session", session, "--capacity", "64",
+            "--unet", "--unet-depth", "2", "--unet-filters", "8",
+            "--unet-batch", "2", "--chunk", "2"]
+    assert main(args) == 0
+    assert os.path.exists(session)
+    tissue = Tissue(4, "check", capacity=64)
+    for _ in tissue.load(session):
+        pass
+    assert tissue.get_labels(1) is not None
+    t1 = tissue.get_cells_info(1)
+    assert int(np.asarray(t1.valid_mask()).sum()) > 0
+    # unchunked run matches the chunked one
+    session2 = os.path.join(tmp_path, "u2.seg")
+    args2 = ["pipeline", movie, "--session", session2, "--capacity", "64",
+             "--unet", "--unet-depth", "2", "--unet-filters", "8",
+             "--unet-batch", "2"]
+    assert main(args2) == 0
+    t2 = Tissue(4, "check2", capacity=64)
+    for _ in t2.load(session2):
+        pass
+    for f in (1, 4):
+        np.testing.assert_array_equal(tissue.get_labels(f), t2.get_labels(f))
+        np.testing.assert_array_equal(
+            np.asarray(tissue.get_cells_info(f).label),
+            np.asarray(t2.get_cells_info(f).label))

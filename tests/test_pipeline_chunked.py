@@ -116,3 +116,58 @@ def test_chunked_pipeline_from_lazy_tiff_store(tmp_path):
     np.testing.assert_array_equal(got["ids"], want["ids"])
     np.testing.assert_array_equal(got["labels"], want["labels"])
     store.close()
+
+
+@pytest.fixture(scope="module")
+def unet_cfg():
+    """Small randomly-initialized U-Net packaged for the fused pipeline."""
+    from tissue_image_processing_tpu.models.predictor import (
+        SegmentationPredictor)
+
+    pred = SegmentationPredictor(None, (2, 64, 64), depth=3, base_filters=8)
+    return pred.pipeline_config(batch=2)
+
+
+@pytest.mark.parametrize("chunk", [3, 4])
+def test_unet_chunked_matches_whole_movie(movie, unet_cfg, chunk):
+    """The U-Net program under T-chunked streaming reproduces the whole-movie
+    run exactly — ids (tracking carry), labels, drifts (boundary carry)."""
+    kw = dict(capacity=64, unet=unet_cfg)
+    want = movie_pipeline(jnp.asarray(movie), **kw)
+    got = movie_pipeline_chunked(movie, chunk_frames=chunk, **kw)
+    np.testing.assert_array_equal(got["ids"], want["ids"])
+    np.testing.assert_array_equal(got["labels"], np.asarray(want["labels"]))
+    np.testing.assert_allclose(got["drifts"], np.asarray(want["drifts"]),
+                               atol=1e-4)
+
+
+def test_unet_chunked_channel_select(movie, unet_cfg):
+    """channels= selects the model's (atoh, zo) pair from a wider store on
+    the host chunk (lazy stores never materialize)."""
+    wide = np.concatenate([np.zeros_like(movie[:, :1]), movie], axis=1)
+    got = movie_pipeline_chunked(wide, chunk_frames=4, capacity=64,
+                                 unet=unet_cfg, channels=(1, 2))
+    want = movie_pipeline(jnp.asarray(movie), capacity=64, unet=unet_cfg)
+    np.testing.assert_array_equal(got["ids"], want["ids"])
+
+
+def test_unet_quantized_pipeline_runs(movie):
+    """The int8 variant of the fused U-Net program runs end-to-end (label
+    parity vs bf16 is certified at production scale in tests/test_unet.py +
+    bench's dice_int8_vs_bf16)."""
+    from tissue_image_processing_tpu.models.predictor import (
+        SegmentationPredictor)
+    from tissue_image_processing_tpu.projection.surface import (
+        project_timepoint_auto)
+
+    pred = SegmentationPredictor(None, (2, 64, 64), depth=3, base_filters=8,
+                                 quantize=True)
+    if not pred.quantize:
+        pytest.skip("random init blocked the BN fold")
+    prj0 = project_timepoint_auto(jnp.asarray(movie[0]), reference_channel=0)[0]
+    pred.calibrate(np.asarray(prj0))
+    cfg = pred.pipeline_config(batch=2)
+    assert cfg["quantized"]
+    out = movie_pipeline_chunked(movie, chunk_frames=4, capacity=64, unet=cfg)
+    assert out["ids"].shape == (movie.shape[0], 64)
+    assert out["labels"].shape[0] == movie.shape[0]

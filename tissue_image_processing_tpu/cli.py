@@ -80,6 +80,34 @@ def _auto_chunk_frames(store, budget_bytes=2 << 30):
     return max(1, budget_bytes // max(per_frame, 1))
 
 
+def _build_unet_config(args, store, channels):
+    """Predictor for `pipeline --unet`: load/fold weights, calibrate the int8
+    scales on the movie's projected first frame, package for the fused
+    program (SegmentationPredictor.pipeline_config)."""
+    import jax.numpy as jnp
+
+    from tissue_image_processing_tpu.models.predictor import (
+        SegmentationPredictor)
+
+    shape = store.frame(0)[0, 0].shape
+    pred = SegmentationPredictor(args.weights, (2,) + shape,
+                                 depth=args.unet_depth,
+                                 base_filters=args.unet_filters,
+                                 quantize=args.quantize)
+    if pred.quantize:
+        from tissue_image_processing_tpu.projection.surface import (
+            project_timepoint_auto)
+
+        stack0 = store.frame(0)[list(channels)].astype(np.float32)
+        if stack0.shape[1] > 1:
+            prj0 = project_timepoint_auto(
+                jnp.asarray(stack0), reference_channel=min(args.channel, 1))[0]
+        else:
+            prj0 = jnp.asarray(stack0[:, 0])
+        pred.calibrate(np.asarray(prj0))
+    return pred.pipeline_config(batch=args.unet_batch)
+
+
 def cmd_pipeline(args):
     """Fused whole-movie run: proj -> watershed -> tables -> drift -> track in
     ONE device program (core/pipeline.py), then populate the session — the
@@ -100,6 +128,14 @@ def cmd_pipeline(args):
               std=args.std, block_size=args.block_size, capacity=args.capacity,
               batch=args.batch, search_range=args.search_range,
               memory=args.memory)
+    channels = None
+    if getattr(args, "unet", False):
+        # U-Net segmentation: the model consumes the (atoh, zo) channel pair
+        # of the projected frame (reference gui.py:2055-2073); projection
+        # still uses --channel as the reference within that pair
+        channels = (args.atoh_channel, args.zo_channel)
+        kw["unet"] = _build_unet_config(args, store, channels)
+        kw["reference_channel"] = min(args.channel, 1)
     chunk = args.chunk if args.chunk is not None else _auto_chunk_frames(store)
     overflow_frames = []
 
@@ -133,10 +169,13 @@ def cmd_pipeline(args):
                   flush=True)
 
         movie_pipeline_chunked(store, chunk_frames=chunk, on_chunk=sink,
-                               keep_labels=False, **kw)
+                               keep_labels=False, channels=channels, **kw)
         ids = np.concatenate(ids_all, axis=0)
     else:
-        out = movie_pipeline(jnp.asarray(store.data), **kw)
+        data = store.data
+        if channels is not None:
+            data = np.asarray(data)[:, list(channels)]
+        out = movie_pipeline(jnp.asarray(data), **kw)
         labels = np.asarray(out["labels"])
         ids = out["ids"]
         # ONE stacked device->host conversion for all tables: per-frame reads
@@ -426,6 +465,24 @@ def build_parser():
     sp.add_argument("--memory", type=int, default=None)
     sp.add_argument("--events", action="store_true",
                     help="run event detection after tracking")
+    sp.add_argument("--unet", action="store_true",
+                    help="segment with the U-Net instead of watershed (the "
+                         "reference's GUI U-Net workflow, gui.py:1391-1407, "
+                         "as one fused streamed program)")
+    sp.add_argument("--weights", default=None,
+                    help="Keras .h5 / saved U-Net weights (with --unet)")
+    sp.add_argument("--quantize", action="store_true",
+                    help="int8 U-Net inference (calibrates on the projected "
+                         "first frame; ~1.5x the bf16 forward)")
+    sp.add_argument("--atoh-channel", dest="atoh_channel", type=int, default=0)
+    sp.add_argument("--zo-channel", dest="zo_channel", type=int, default=1)
+    sp.add_argument("--unet-batch", dest="unet_batch", type=int, default=8,
+                    help="frames per U-Net forward (8 = best MXU rate)")
+    sp.add_argument("--unet-depth", dest="unet_depth", type=int, default=3,
+                    help="down-blocks (3 = the reference's inference net, "
+                         "2 = its training variant, train.py:167-177)")
+    sp.add_argument("--unet-filters", dest="unet_filters", type=int,
+                    default=128, help="first conv block's filter count")
     sp.set_defaults(fn=cmd_pipeline)
 
     sp = sub.add_parser("unet", help="U-Net segmentation")

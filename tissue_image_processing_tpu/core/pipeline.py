@@ -15,7 +15,7 @@ path the BASELINE north star measures (bench.py), exposed to users via
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -80,12 +80,89 @@ def _segment_program(movie, prev_ref=None, reference_channel=0, threshold=0.2,
     return labels, tabs, drifts, overflow, refs_t[-1]
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "reference_channel", "capacity", "batch", "airyscan", "project",
+    "quantized", "depth", "base_filters", "norm"))
+def _segment_program_unet(movie, params, prev_ref=None, reference_channel=0,
+                          capacity=1024, batch=8, airyscan=False, project=True,
+                          quantized=False, depth=3, base_filters=128,
+                          norm="shift"):
+    """U-Net twin of :func:`_segment_program` — the one-device-program
+    proj -> normalize -> U-Net forward -> morphology post-process -> tables ->
+    drift path (the reference's GUI U-Net workflow, ``gui.py:1391-1407,
+    2039-2079``, as a fused program instead of per-frame host round-trips).
+
+    ``movie``: (T, C=2, Z, Y, X) with channels ordered (atoh, zo) — the model
+    input order (``prediction_local.py:102-104``). Frames group into
+    ``batch``-sized U-Net forwards (B=8 runs the convs at ~172 TF/s vs ~116
+    at B=1 on v5e) and each group's boundary maps flood as ONE stacked Pallas
+    launch. Labels come back in the reference's x-major (X, Y) space; drifts
+    are measured on the y-major projection and column-swapped to match.
+    """
+    from tissue_image_processing_tpu.core.cell_table import frame_cellinfo_checked
+    from tissue_image_processing_tpu.core.tracking import compute_drift_chain
+    from tissue_image_processing_tpu.models.predictor import (
+        find_desired_shape, unet_postprocess_batch)
+    from tissue_image_processing_tpu.ops.brightness import normalize_channel
+    from tissue_image_processing_tpu.projection.surface import (
+        project_timepoint_auto)
+
+    T = movie.shape[0]
+    if project:
+        prj = jax.lax.map(lambda s: project_timepoint_auto(
+            s, reference_channel=reference_channel, airyscan=airyscan)[0],
+            movie)                                         # (T, C, Y, X)
+    else:
+        prj = movie[:, :, 0].astype(jnp.float32)
+    norm_img = jax.vmap(jax.vmap(normalize_channel))(prj)
+    x = jnp.transpose(norm_img, (0, 3, 2, 1)).astype(jnp.bfloat16)  # (T, X, Y, C)
+    sx, sy = x.shape[1], x.shape[2]
+    px, py = find_desired_shape(sx, sy)
+    x = jnp.pad(x, ((0, 0), (px - sx, 0), (py - sy, 0), (0, 0)))
+
+    if quantized:
+        from tissue_image_processing_tpu.models.quant import unet_int8_apply
+
+        def fwd(xb):
+            return unet_int8_apply(params, xb, depth=depth)
+    else:
+        from tissue_image_processing_tpu.models.unet import UNet
+        model = UNet(depth=depth, base_filters=base_filters,
+                     dtype=jnp.bfloat16, norm=norm)
+
+        def fwd(xb):
+            return model.apply(params, xb, train=False)
+
+    B = _flood_batch(T, batch)
+
+    def seg_group(xb):
+        preds = fwd(xb)[:, px - sx:, py - sy:, :]
+        labels, _hc = unet_postprocess_batch(preds.astype(jnp.float32))
+        return labels
+
+    labels = jax.lax.map(seg_group, x.reshape(T // B, B, *x.shape[1:]))
+    labels = labels.reshape(T, *labels.shape[2:])
+    tabs, overflow = jax.vmap(lambda l: frame_cellinfo_checked(
+        l, capacity=capacity, neighbor_compact_k=192))(labels)
+    refs = prj[:, reference_channel]                       # (T, Y, X)
+    # the labels (and table cx/cy) live in x-major space while the drift
+    # chain measures the (Y, X) projection; a transposed image's phase shift
+    # is the swapped component pair, so swap columns to match
+    if prev_ref is None:
+        drifts = compute_drift_chain(refs)[:, ::-1]
+    else:
+        drifts = compute_drift_chain(
+            jnp.concatenate([prev_ref[None], refs], axis=0))[1:, ::-1]
+    return labels, tabs, drifts, overflow, refs[-1]
+
+
 def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
                    threshold: float = 0.2, std: float = 3.0,
                    block_size: int = 101, capacity: int = 1024,
                    batch: int = 2, airyscan: bool = False,
                    search_range: float = 100.0, memory: int = 3,
-                   drifts: Optional[np.ndarray] = None):
+                   drifts: Optional[np.ndarray] = None,
+                   unet: Optional[dict] = None):
     """(T, C, Z, Y, X) movie -> dict with per-frame segment ``labels``
     (T, X, Y — the reference's transposed convention), stacked cell
     ``tables`` (CellTable of (T, capacity) arrays), ``drifts`` (T, 2) and
@@ -95,6 +172,10 @@ def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
     adaptive radii (reference ``adaptive_stop=10``): segmentation and tables
     run in one device program, the radii come from one host pass over the
     tables, and the tracking scan is a second small program.
+
+    ``unet``: segment with the U-Net program instead of watershed — a dict
+    from :meth:`SegmentationPredictor.pipeline_config` (params + the static
+    model description); the movie's channels must then be (atoh, zo).
     """
     from tissue_image_processing_tpu.core.tracking import (
         adaptive_effective_ranges, track_movie)
@@ -102,10 +183,19 @@ def movie_pipeline(movie: jnp.ndarray, *, reference_channel: int = 0,
     if movie.ndim != 5:
         raise ValueError(f"movie must be (T, C, Z, Y, X), got {movie.shape}")
     project = movie.shape[2] > 1
-    labels, tabs, dr, overflow, _last_ref = _segment_program(
-        movie, reference_channel=reference_channel, threshold=threshold,
-        std=std, block_size=block_size, capacity=capacity, batch=batch,
-        airyscan=airyscan, project=project)
+    if unet is not None:
+        labels, tabs, dr, overflow, _last_ref = _segment_program_unet(
+            movie, unet["params"], reference_channel=reference_channel,
+            capacity=capacity, batch=unet.get("batch", 8), airyscan=airyscan,
+            project=project, quantized=unet.get("quantized", False),
+            depth=unet.get("depth", 3),
+            base_filters=unet.get("base_filters", 128),
+            norm=unet.get("norm", "shift"))
+    else:
+        labels, tabs, dr, overflow, _last_ref = _segment_program(
+            movie, reference_channel=reference_channel, threshold=threshold,
+            std=std, block_size=block_size, capacity=capacity, batch=batch,
+            airyscan=airyscan, project=project)
     if drifts is None:
         drifts = np.asarray(dr)
     cy, cx, area, mask = (np.asarray(tabs.cy), np.asarray(tabs.cx),
@@ -130,7 +220,9 @@ def movie_pipeline_chunked(store, *, chunk_frames: int,
                            capacity: int = 1024, batch: int = 2,
                            airyscan: bool = False,
                            search_range: float = 100.0, memory: int = 3,
-                           on_chunk=None, keep_labels: bool = True):
+                           on_chunk=None, keep_labels: bool = True,
+                           unet: Optional[dict] = None,
+                           channels: Optional[Sequence[int]] = None):
     """Streaming form of :func:`movie_pipeline` for movies larger than HBM.
 
     The reference's de-facto envelope is "any length movie, streamed" (dask
@@ -157,6 +249,11 @@ def movie_pipeline_chunked(store, *, chunk_frames: int,
     with ``keep_labels=False`` peak host memory is one chunk's labels. Returns
     the same dict as :func:`movie_pipeline` (``labels`` is None when not
     kept).
+
+    ``unet``: segment with the U-Net program (see :func:`movie_pipeline`);
+    ``channels``: select these channels from each staged chunk (e.g. the
+    (atoh, zo) pair the model expects) — selection happens on the decoded
+    host chunk so lazy TIFF/CZI stores never materialize the movie.
     """
     import jax as _jax
 
@@ -174,19 +271,36 @@ def movie_pipeline_chunked(store, *, chunk_frames: int,
     state = TrackingState.empty(track_cap)
     cum = jnp.zeros((2,), jnp.float32)
     prev_pts = None
-    prev_ref = jnp.zeros((data.shape[4], data.shape[3]), jnp.float32)
+    # the carried reference frame's space differs by segmenter: the watershed
+    # program measures drift on the x-major transposed refs, the U-Net one on
+    # the y-major projection (swapping the drift columns instead)
+    prev_ref = (jnp.zeros((data.shape[3], data.shape[4]), jnp.float32)
+                if unet is not None
+                else jnp.zeros((data.shape[4], data.shape[3]), jnp.float32))
     all_ids, all_tabs, all_drifts, all_over, all_labels = [], [], [], [], []
     for ci, t0 in enumerate(range(0, T, C)):
         real = min(C, T - t0)
         chunk = np.asarray(data[t0:t0 + real])
+        if channels is not None:
+            chunk = chunk[:, list(channels)]
         if real < C:  # pad the tail so the device program shape is constant
             chunk = np.concatenate(
                 [chunk, np.repeat(chunk[-1:], C - real, axis=0)], axis=0)
-        labels, tabs, dr, overflow, last_ref = _segment_program(
-            jnp.asarray(chunk), prev_ref=prev_ref,
-            reference_channel=reference_channel, threshold=threshold, std=std,
-            block_size=block_size, capacity=capacity, batch=batch,
-            airyscan=airyscan, project=project)
+        if unet is not None:
+            labels, tabs, dr, overflow, last_ref = _segment_program_unet(
+                jnp.asarray(chunk), unet["params"], prev_ref=prev_ref,
+                reference_channel=reference_channel, capacity=capacity,
+                batch=unet.get("batch", 8), airyscan=airyscan,
+                project=project, quantized=unet.get("quantized", False),
+                depth=unet.get("depth", 3),
+                base_filters=unet.get("base_filters", 128),
+                norm=unet.get("norm", "shift"))
+        else:
+            labels, tabs, dr, overflow, last_ref = _segment_program(
+                jnp.asarray(chunk), prev_ref=prev_ref,
+                reference_channel=reference_channel, threshold=threshold,
+                std=std, block_size=block_size, capacity=capacity,
+                batch=batch, airyscan=airyscan, project=project)
         # ONE batched device->host fetch for everything the host needs (the
         # scan state / prev_ref stay device-resident for the next chunk):
         # through the dev tunnel each separate read costs an RTT (up to

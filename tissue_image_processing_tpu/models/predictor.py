@@ -200,6 +200,25 @@ class SegmentationPredictor:
         labels, hc = unet_postprocess(unpadded)
         return labels, hc
 
+    def pipeline_config(self, batch: int = 8) -> dict:
+        """Package this predictor for the fused movie pipeline
+        (:func:`~..core.pipeline.movie_pipeline` ``unet=`` /
+        ``cli pipeline --unet``): the parameter pytree plus the static model
+        description. With ``quantize=True`` the int8 activation scales must be
+        fixed first — call :meth:`calibrate` with a representative projected
+        frame (the CLI projects the movie's first frame for this)."""
+        if self.quantize:
+            if self._qparams is None:
+                raise ValueError(
+                    "int8 pipeline config needs calibrated activation scales "
+                    "— call calibrate(representative_image) first")
+            params = self._qparams
+        else:
+            params = self.variables
+        return {"params": params, "quantized": self.quantize,
+                "depth": self.depth, "base_filters": self.model.base_filters,
+                "norm": self.model.norm, "batch": batch}
+
     def predict_batch(self, images: jnp.ndarray):
         """(B, C, Y, X) equally-sized batch -> (B, X, Y) labels + (B, X, Y) HC —
         the TPU path for multi-frame segmentation (one forward pass, vmapped
