@@ -132,3 +132,51 @@ def test_sharded_unet_pipeline_matches_single_device():
                                         capacity=2 * cap))
     assert ids_sharded.shape == ids_single.shape == (T, cap)
     np.testing.assert_array_equal(ids_sharded, ids_single)
+
+
+@pytest.mark.parametrize("chunk", [8, 16, 24])
+def test_sharded_chunked_matches_unchunked(chunk):
+    """Streaming composes with sharding: T-chunks through the frame mesh with
+    tracking-state / boundary-drift carry reproduce the whole-movie sharded
+    run's ids exactly — multi-chip >HBM streaming (SURVEY 5.8), including a
+    padded tail chunk (T=20 with chunk=8 or 16) and chunk == T."""
+    from tissue_image_processing_tpu.parallel.pipeline import (
+        sharded_movie_pipeline_chunked)
+
+    T = 24 if chunk == 24 else 20
+    movie = _tiny_movie(T)
+    mesh = make_frame_mesh(8)
+    want = np.asarray(sharded_movie_pipeline(mesh, capacity=64,
+                                             block_size=31)(movie[:T - T % 8]
+                                                            if T % 8 else movie))
+    got = sharded_movie_pipeline_chunked(mesh, np.asarray(movie),
+                                         chunk_frames=chunk, capacity=64,
+                                         block_size=31)
+    assert got.shape == (T, 64)
+    # compare on the frames the unchunked mesh run covers (T divisible by 8)
+    T8 = want.shape[0]
+    np.testing.assert_array_equal(got[:T8], want)
+
+
+def test_sharded_chunked_on_chunk_streams():
+    from tissue_image_processing_tpu.parallel.pipeline import (
+        sharded_movie_pipeline_chunked)
+
+    movie = _tiny_movie(16)
+    mesh = make_frame_mesh(8)
+    seen = []
+    got = sharded_movie_pipeline_chunked(
+        mesh, np.asarray(movie), chunk_frames=8, capacity=64, block_size=31,
+        on_chunk=lambda t0, ids: seen.append((t0, ids.shape[0])))
+    assert seen == [(0, 8), (8, 8)]
+    assert got.shape == (16, 64)
+
+
+def test_sharded_chunked_rejects_bad_chunk():
+    from tissue_image_processing_tpu.parallel.pipeline import (
+        sharded_movie_pipeline_chunked)
+
+    mesh = make_frame_mesh(8)
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        sharded_movie_pipeline_chunked(mesh, np.zeros((16, 1, 2, 16, 16)),
+                                       chunk_frames=12)
