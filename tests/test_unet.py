@@ -376,3 +376,72 @@ def test_int8_real_architecture_end_to_end():
     dp = float(np.abs(pf - pq).mean())
     assert hc_agree > 0.98, f"HC mask agreement {hc_agree:.4f}"
     assert dp < 0.05, f"forward mean |dP| {dp:.4f}"
+
+
+@pytest.mark.slow
+def test_train_unet_converges_on_synthetic(tmp_path):
+    """Convergence receipt: train_unet (the reference recipe's loop,
+    Segmentation/train.py:179-195, shrunk net) must learn a usable
+    segmentation on synthetic HC/SC data — post-postprocess HC-mask Dice
+    >= 0.9 on a held-out frame, not just 'loss went down'."""
+    from tissue_image_processing_tpu.models.train import train_unet
+    from tissue_image_processing_tpu.models.predictor import unet_postprocess
+
+    rng = np.random.default_rng(0)
+
+    def make_frame(seed):
+        """(2, Y, X) image + (Y, X) labels (1 HC / 2 SC incl. boundary) + the
+        ground-truth HC mask. Channel 0 = HC marker, channel 1 = membrane.
+        Boundary pixels are labeled SC here so every pixel is supervised —
+        the reference's 0-label leaves boundaries lossless
+        (``train.py:109-111``), which a receptive-field-starved smoke-size
+        net fills arbitrarily; the crop-reject policy around 0-labels has
+        its own test above."""
+        from scipy.ndimage import gaussian_filter
+        from scipy.spatial import cKDTree
+
+        r = np.random.default_rng(seed)
+        H = W = 160
+        pts = np.stack([r.uniform(0, H, 48), r.uniform(0, W, 48)], 1)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        d, idx = cKDTree(pts).query(np.stack([yy.ravel(), xx.ravel()], 1), k=2)
+        boundary = (d[:, 1] - d[:, 0]).reshape(H, W) < 1.5
+        owner = idx[:, 0].reshape(H, W)
+        hc_cells = r.random(48) < 0.4
+        truth_hc = (~boundary) & hc_cells[owner]
+        lab = np.where(truth_hc, 1, 2)
+        img = np.zeros((2, H, W), np.float32)
+        img[0] = gaussian_filter(truth_hc.astype(np.float32), 0.5) * 900
+        img[1] = gaussian_filter(boundary.astype(np.float32), 0.5) * 800
+        img += r.normal(0, 20, img.shape)
+        return np.clip(img, 0, None), lab, truth_hc
+
+    frames = [make_frame(s) for s in range(3)]
+    images = [f[0] for f in frames]
+    labels = [f[1] for f in frames]
+    model, variables, history = train_unet(
+        images, labels, epochs=15, steps_per_epoch=8, batch_size=8, crop=64,
+        learning_rate=1e-3, depth=2, base_filters=8, dtype=jnp.float32,
+        seed=0)
+    assert history["loss"][-1] < history["loss"][0]
+
+    # held-out frame -> predict -> postprocess; compare against the ground
+    # truth pushed through the IDENTICAL postprocess (same 0.1 threshold,
+    # closing and 7x7 erosion on both sides isolates the model's quality
+    # from the morphology's deliberate mask shrink)
+    img_t, _lab_t, truth = make_frame(99)
+    from tissue_image_processing_tpu.ops.brightness import normalize_channel
+
+    norm = jax.vmap(normalize_channel)(jnp.asarray(img_t[:, :128, :128]))
+    x = jnp.transpose(norm)[None]                       # (1, X, Y, C)
+    pred = model.apply(variables, x, train=False)[0]
+    _labels, hc = unet_postprocess(pred.astype(jnp.float32))
+    hc = np.asarray(hc).T                               # back to (Y, X)
+    t = jnp.asarray(truth[:128, :128].astype(np.float32).T)
+    _, hc_oracle = unet_postprocess(jnp.stack([t, 1 - t], -1))
+    hc_oracle = np.asarray(hc_oracle).T
+    inter = np.logical_and(hc, hc_oracle).sum()
+    dice = 2 * inter / max(hc.sum() + hc_oracle.sum(), 1)
+    print(f"\nconvergence smoke: post-postprocess HC Dice {dice:.3f} "
+          f"(loss {history['loss'][0]:.3f} -> {history['loss'][-1]:.3f})")
+    assert dice >= 0.9, dice

@@ -22,6 +22,59 @@ from flax import linen as nn
 __all__ = ["UNet", "build_unet", "fold_batchnorm"]
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_f32_accum(x, k, strides, padding, dn):
+    """conv_general_dilated with f32 accumulation (preferred_element_type)
+    and a grad that works on bf16 operands: jax 0.9's builtin conv grad feeds
+    the f32 cotangent back into a conv against the bf16 kernel and raises a
+    dtype mismatch. Forward is the identical primitive; backward casts the
+    cotangent to the operand dtype and uses the plain conv's vjp (standard
+    mixed-precision training)."""
+    return jax.lax.conv_general_dilated(
+        x, k, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+
+
+def _conv_f32_accum_fwd(x, k, strides, padding, dn):
+    return _conv_f32_accum(x, k, strides, padding, dn), (x, k)
+
+
+def _conv_f32_accum_bwd(strides, padding, dn, res, g):
+    x, k = res
+    _, vjp = jax.vjp(lambda x_, k_: jax.lax.conv_general_dilated(
+        x_, k_, strides, padding, dimension_numbers=dn), x, k)
+    return vjp(g.astype(x.dtype))
+
+
+_conv_f32_accum.defvjp(_conv_f32_accum_fwd, _conv_f32_accum_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_transpose_f32_accum(x, k, strides, padding, dn):
+    """Transposed-conv twin of :func:`_conv_f32_accum`."""
+    return jax.lax.conv_transpose(
+        x, k, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+
+
+def _conv_transpose_f32_accum_fwd(x, k, strides, padding, dn):
+    return _conv_transpose_f32_accum(x, k, strides, padding, dn), (x, k)
+
+
+def _conv_transpose_f32_accum_bwd(strides, padding, dn, res, g):
+    x, k = res
+    _, vjp = jax.vjp(lambda x_, k_: jax.lax.conv_transpose(
+        x_, k_, strides, padding, dimension_numbers=dn), x, k)
+    return vjp(g.astype(x.dtype))
+
+
+_conv_transpose_f32_accum.defvjp(_conv_transpose_f32_accum_fwd,
+                                 _conv_transpose_f32_accum_bwd)
+
+
 def _auto_row_split(B: int, H: int) -> int:
     """Row-split factor for the space-to-batch conv path.
 
@@ -80,16 +133,15 @@ class _FusedConv(nn.Module):
             above = jnp.concatenate([zero, xs[:, :-1, -1:]], axis=1)
             below = jnp.concatenate([xs[:, 1:, :1], zero], axis=1)
             xh = jnp.concatenate([above, xs, below], axis=2)
-            y = jax.lax.conv_general_dilated(
+            y = _conv_f32_accum(
                 xh.reshape(B * S, h + 2, W, C).astype(self.dtype),
                 kernel.astype(self.dtype), (1, 1), ((0, 0), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
+                ("NHWC", "HWIO", "NHWC"))
             return y.reshape(B, H, W, self.features) + bias
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
-            self.padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+        pad = (self.padding if isinstance(self.padding, str)
+               else tuple(tuple(p) for p in self.padding))
+        y = _conv_f32_accum(x.astype(self.dtype), kernel.astype(self.dtype),
+                            (1, 1), pad, ("NHWC", "HWIO", "NHWC"))
         return y + bias
 
 
@@ -109,10 +161,9 @@ class _FusedConvTranspose(nn.Module):
                             (kh, kw, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
-        y = jax.lax.conv_transpose(
+        y = _conv_transpose_f32_accum(
             x.astype(self.dtype), kernel.astype(self.dtype), (2, 2), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            ("NHWC", "HWIO", "NHWC"))
         return (y + bias).astype(self.dtype)
 
 
