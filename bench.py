@@ -209,19 +209,26 @@ def main(argv=None):
     cys_w, cxs_w, areas_w, masks_w, drifts_w = [np.asarray(x) for x in track_data]
     ranges_np = adaptive_effective_ranges(cys_w, cxs_w, areas_w, masks_w,
                                           drifts=drifts_w, per_cell=True)
-    print(f"# adaptive radii: {np.round(ranges_np, 1).tolist()}", file=sys.stderr)
+    live = ranges_np[masks_w] if masks_w.any() else ranges_np.ravel()
+    print(f"# adaptive radii (per-cell): min {live.min():.1f} / "
+          f"median {np.median(live):.1f} / max {live.max():.1f}",
+          file=sys.stderr)
     ranges_dev = jnp.asarray(ranges_np, jnp.float32)
     ids, projs, track_data = full_program(movie_dev, ranges_dev)
     np.asarray(ids)  # warm the adaptive-ranges variant (same program, new values)
 
     # best of 3 timed passes: a single pass swung ~±12% run-to-run with tunnel
-    # /device interference; the minimum is the device's actual rate
+    # /device interference; the minimum is the device's actual rate. All three
+    # passes are recorded so the JSON carries the noise floor.
     elapsed = np.inf
+    pass_secs = []
     for _ in range(3):
         t0 = time.time()
         ids, projs, track_data = full_program(movie_dev, ranges_dev)
         ids_np = np.asarray(ids)  # single small host read = sync point
-        elapsed = min(elapsed, time.time() - t0)
+        pass_secs.append(time.time() - t0)
+        elapsed = min(elapsed, pass_secs[-1])
+    _record_passes("headline", pass_secs)
     fps = T * R / elapsed
 
     n_cells = int((ids_np > 0).sum(1).mean())
@@ -233,12 +240,19 @@ def main(argv=None):
     print(f"# {T}x{R} frames in {elapsed:.2f}s; ~{n_cells} cells/frame; "
           f"track continuity {np.mean(cont):.3f}", file=sys.stderr)
 
+    hl_rates = sorted(T * R / s for s in pass_secs)
+    noise_pct = round(100 * (hl_rates[-1] - hl_rates[0]) / hl_rates[-1], 1)
+    print(f"# headline passes: {[round(r, 1) for r in hl_rates]} fps "
+          f"(noise floor ~{noise_pct}% this session — swings within that "
+          f"across rounds are tunnel noise, not regressions)", file=sys.stderr)
     result = {
         "metric": "e2e_frames_per_sec_proj_seg_track_1024x1024x30"
         if not args.quick else "e2e_frames_per_sec_quick",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 50.0, 3),
+        "headline_passes_fps": [round(r, 2) for r in hl_rates],
+        "noise_floor_pct": noise_pct,
     }
     if args.quick or args.headline_only:
         result["compile_s"] = dict(_compile_s)
@@ -255,6 +269,31 @@ def main(argv=None):
 
 
 _compile_s = {}  # per-config compile+first-pass seconds (VERDICT r3 item 6)
+_passes_s = {}   # per-config list of per-pass seconds (VERDICT r4: dispersion)
+_train_stats = {}  # cfg8 side channel: ms/step, TF/s, MFU vs 197 TF/s peak
+
+
+def _record_passes(name, seconds_list):
+    """Keep every timed pass so BENCH carries dispersion, not just the point
+    estimate — ±30% tunnel swings on identical code are otherwise
+    indistinguishable from regressions (PERFORMANCE.md noise notes)."""
+    if name:
+        _passes_s[name] = [round(s, 4) for s in seconds_list]
+
+
+def _spread_stats(rate_of):
+    """{name: {min, median, max}} in the config's RATE units, from the
+    recorded per-pass seconds. ``rate_of``: name -> iterations per pass."""
+    out = {}
+    for name, secs in _passes_s.items():
+        iters = rate_of.get(name)
+        if iters is None or not secs:
+            continue
+        rates = sorted(iters / max(s, 1e-9) for s in secs)
+        out[name] = {"min": round(rates[0], 2),
+                     "median": round(float(np.median(rates)), 2),
+                     "max": round(rates[-1], 2)}
+    return out
 
 
 def _timed_loop(fn, iters, name=None):
@@ -266,7 +305,8 @@ def _timed_loop(fn, iters, name=None):
     EXACTLY. (The old flat 27 ms estimate understated the real ~20-45 ms/call
     axon overhead and cost cfg1 up to 40% of its measured rate; single passes
     also swung ~12% with tunnel interference, hence min-of-3.) The cold first
-    call (compile + first pass) lands in ``_compile_s[name]``."""
+    call (compile + first pass) lands in ``_compile_s[name]``; every per-pass
+    difference lands in ``_passes_s[name]`` so the JSON carries dispersion."""
     import numpy as np
     tc = time.time()
     np.asarray(fn(iters))  # compile + warm
@@ -274,13 +314,17 @@ def _timed_loop(fn, iters, name=None):
         _compile_s[name] = round(time.time() - tc, 1)
     np.asarray(fn(2 * iters))  # warm the doubled count (same executable)
     t_n, t_2n = np.inf, np.inf
+    diffs = []
     for _ in range(3):
         t0 = time.time()
         np.asarray(fn(iters))
         t1 = time.time()
         np.asarray(fn(2 * iters))
+        t2 = time.time()
         t_n = min(t_n, t1 - t0)
-        t_2n = min(t_2n, time.time() - t1)
+        t_2n = min(t_2n, t2 - t1)
+        diffs.append(max((t2 - t1) - (t1 - t0), 1e-6))
+    _record_passes(name, diffs)
     return max(t_2n - t_n, 1e-6)
 
 
@@ -432,9 +476,13 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                                            drifts=tabs[4], per_cell=True)
         ranges_dev = jnp.asarray(ranges, jnp.float32)
         np.asarray(cfg4(frames100, ranges_dev)[0])  # warm with real radii
-        t0 = time.time()
-        np.asarray(cfg4(frames100, ranges_dev)[0])
-        return round(T100 / max(time.time() - t0 - 0.027, 1e-6), 2)
+        secs = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(cfg4(frames100, ranges_dev)[0])
+            secs.append(time.time() - t0)
+        _record_passes("4_track100_fps", secs)
+        return round(T100 / max(min(secs) - 0.027, 1e-6), 2)
 
     def run_cfg5():
         # full 4-D movie: proj -> UNet -> watershed -> track -> statistics +
@@ -547,9 +595,13 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                                            per_cell=True)
         ranges_dev = jnp.asarray(ranges, jnp.float32)
         cfg5(ranges_dev)  # warm with real radii
-        t0 = time.time()
-        cfg5(ranges_dev)
-        return round(R5 * T / (time.time() - t0), 2)
+        secs = []
+        for _ in range(3):
+            t0 = time.time()
+            cfg5(ranges_dev)
+            secs.append(time.time() - t0)
+        _record_passes("5_full_movie_fps", secs)
+        return round(R5 * T / min(secs), 2)
 
     def run_cfg6():
         # 2048^2 watershed (the reference's production frame scale padded up;
@@ -584,12 +636,94 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                                         delaminate=[(1000, 3)])
         for _ in tissue.find_events_iterator(1, n_frames):  # warm numpy paths
             pass
-        tissue.events = tissue.events.iloc[0:0]
-        t0 = time.time()
-        for _ in tissue.find_events_iterator(1, n_frames):
-            pass
+        secs = []
+        for _ in range(3):
+            tissue.events = tissue.events.iloc[0:0]
+            t0 = time.time()
+            for _ in tissue.find_events_iterator(1, n_frames):
+                pass
+            secs.append(time.time() - t0)
         assert len(tissue.events) >= 1  # the planted delamination
-        return round((n_frames - 1) / (time.time() - t0), 2)
+        _record_passes("7_events_2000cells_pairs_per_sec", secs)
+        return round((n_frames - 1) / min(secs), 2)
+
+    def run_cfg7h():
+        # the same detector with HOST-RESIDENT tables: cfg7's number is
+        # transfer-bound through the dev tunnel (~1 MB adjacency/frame over
+        # ~30 MB/s); production tables arrive on host via the chunked
+        # pipeline's batched fetch, so the component's real rate is this one
+        # (reference tissue_info.py:636-789 loops Python per candidate x
+        # neighbor — seconds/pair at this density)
+        from tissue_image_processing_tpu.utils.synthetic import (
+            make_tracked_tissue)
+        n_frames = 4
+        tissue, _ = make_tracked_tissue(n_frames=n_frames, size=1024,
+                                        n_cells=2000, seed=3,
+                                        delaminate=[(1000, 3)])
+        for f in range(1, n_frames + 1):  # one batched device->host fetch
+            tissue.set_cells_info(f, jax.tree_util.tree_map(
+                np.asarray, tissue.get_cells_info(f)))
+        for _ in tissue.find_events_iterator(1, n_frames):  # warm
+            pass
+        secs = []
+        for _ in range(3):
+            tissue.events = tissue.events.iloc[0:0]
+            t0 = time.time()
+            for _ in tissue.find_events_iterator(1, n_frames):
+                pass
+            secs.append(time.time() - t0)
+        assert len(tissue.events) >= 1
+        _record_passes("7h_events_2000cells_pairs_per_sec_host", secs)
+        return round((n_frames - 1) / min(secs), 2)
+
+    def run_cfg8():
+        # U-Net TRAINING throughput at the reference recipe shape (256^2
+        # crops, BS=32, depth-3 net, Adam 1e-5 — Segmentation/train.py:179-195)
+        # as steps/sec + achieved TF/s vs the 197 TF/s v5e bf16 peak. The
+        # state threads through the fori_loop so steps chain by construction.
+        from tissue_image_processing_tpu.models.train import (create_train_state,
+                                                              make_train_step)
+        from tissue_image_processing_tpu.models.unet import UNet as _UNet
+
+        tmodel = _UNet(depth=3, base_filters=128, dtype=jnp.bfloat16)
+        state, tx = create_train_state(tmodel, (256, 256, 2),
+                                       learning_rate=1e-5)
+        step_fn = make_train_step(tmodel, tx)
+        rng = np.random.default_rng(7)
+        bx = jnp.asarray(rng.random((32, 256, 256, 2)), jnp.float32)
+        by_cls = (rng.random((32, 256, 256)) > 0.5).astype(np.float32)
+        by = jnp.asarray(np.stack([by_cls, 1 - by_cls], -1))
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def cfg8(state, bx, by, n):
+            def body(i, st):
+                st2, _loss, _acc = step_fn(st, bx, by,
+                                           jax.random.fold_in(key, i))
+                return st2
+            final = jax.lax.fori_loop(0, n, body, state)
+            # consume a param element: returning only .step lets XLA DCE the
+            # whole training chain (each step's params depend on all previous
+            # params through the gradient, so one element forces everything)
+            return jax.tree_util.tree_leaves(final.params)[0].ravel()[0]
+
+        N8 = 6
+        sec = _timed_loop(lambda n: cfg8(state, bx, by, jnp.int32(n)), N8,
+                          name="8_train_steps_per_sec")
+        steps_per_sec = N8 / sec
+        # FLOPs of one step from XLA's own cost model on the jitted graph
+        try:
+            cost = jax.jit(lambda st, x, y: step_fn(
+                st, x, y, key)).lower(state, bx, by).compile().cost_analysis()
+            flops = float(cost.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        if flops > 0:
+            tf_s = flops * steps_per_sec / 1e12
+            _train_stats["train_tf_per_sec"] = round(tf_s, 1)
+            _train_stats["train_mfu_pct"] = round(100 * tf_s / 197.0, 1)
+            _train_stats["train_ms_per_step"] = round(1e3 / steps_per_sec, 1)
+        return round(steps_per_sec, 3)
 
     for name, fn in [("1_watershed_512", run_cfg1),
                      ("2_projection_fps", run_cfg2),
@@ -598,7 +732,9 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                      ("4_track100_fps", run_cfg4),
                      ("5_full_movie_fps", run_cfg5),
                      ("6_watershed_2048", run_cfg6),
-                     ("7_events_2000cells_pairs_per_sec", run_cfg7)]:
+                     ("7_events_2000cells_pairs_per_sec", run_cfg7),
+                     ("7h_events_2000cells_pairs_per_sec_host", run_cfg7h),
+                     ("8_train_steps_per_sec", run_cfg8)]:
         if args.only and args.only not in name:
             continue
         if over_budget(name):
@@ -611,9 +747,20 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
                   file=sys.stderr)
             configs[name] = f"error: {type(e).__name__}"
 
+    def _spread():
+        rate_of = {"1_watershed_512": N_IT, "2_projection_fps": N_IT,
+                   "3_unet_inference_fps": 16, "3q_unet_int8_fps": 16,
+                   "4_track100_fps": 100, "5_full_movie_fps": 4 * T,
+                   "6_watershed_2048": 5,
+                   "7_events_2000cells_pairs_per_sec": 3,
+                   "7h_events_2000cells_pairs_per_sec_host": 3,
+                   "8_train_steps_per_sec": 6}
+        return _spread_stats(rate_of)
+
     # --- accuracy: Dice vs the native Meyer flood oracle at bench size
     if args.only:
-        return {"configs": configs}
+        return {"configs": configs, "configs_spread": _spread(),
+                **_train_stats}
     print("# accuracy: Dice vs native oracle ...", file=sys.stderr)
     dice = None
     try:
@@ -697,7 +844,8 @@ def run_baseline_configs(args, movie_dev, projs, ids_np, track_data, cap):
         print(f"# lineage parity skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    out = {"configs": configs}
+    out = {"configs": configs, "configs_spread": _spread()}
+    out.update(_train_stats)
     if _compile_s:
         out["compile_s"] = dict(_compile_s)
     if dice is not None:
