@@ -63,6 +63,30 @@ def test_sharded_projection_parity(fshards, yshards):
         np.testing.assert_array_equal(zmap[t], np.asarray(want_z))
 
 
+@pytest.mark.parametrize("fshards,yshards,xshards", [(1, 4, 2), (2, 2, 2),
+                                                     (1, 2, 4)])
+def test_sharded_projection_xy_parity(fshards, yshards, xshards):
+    """Columns shard over the mesh's x axis too (SURVEY 5.8's planned
+    ("frame","y_tile","x_tile")): 2-D spatial split with row+column halos
+    must still match the unsharded projection exactly."""
+    T, C, Z = 2 * fshards, 2, 4
+    Y, X = 8 * yshards, 32 * xshards
+    movie = _movie(T, C, Z, Y, X, seed=5)
+    mesh = make_space_mesh(8, frame_shards=fshards, x_shards=xshards)
+    assert dict(mesh.shape) == {"frame": fshards, "y": yshards, "x": xshards}
+    fn = sharded_projection(mesh, reference_channel=0, airyscan=False)
+    with mesh:
+        proj, zmap = fn(jnp.asarray(movie))
+    proj, zmap = np.asarray(proj), np.asarray(zmap)
+    for t in range(T):
+        want_p, want_z = time_point_surface_projection(
+            jnp.asarray(movie[t]), reference_channel=0, airyscan=False,
+            precise=True)
+        np.testing.assert_allclose(proj[t], np.asarray(want_p),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_array_equal(zmap[t], np.asarray(want_z))
+
+
 def test_clip_percentile_mirrors_subsampling_above_limit():
     """Above _EXACT_SORT_LIMIT global elements the unsharded masked_percentile
     subsamples strided rows; clip_percentile_sharded must select the same
