@@ -6,6 +6,7 @@ skimage/trackpy stack the reference delegates to (absent from this env)."""
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from tissue_image_processing_tpu.core.tracking import track_movie
@@ -103,3 +104,43 @@ def test_tracking_movie_fixture_parity():
     got = links(ids)
     parity = len(want & got) / max(len(want), 1)
     assert parity >= 0.99, f"lineage parity {parity:.4f} vs committed oracle run"
+
+
+def _production_surface(h, w, n_seeds, seed):
+    """KD-tree twin of fixtures/generate.py:membrane_surface for production
+    sizes (the fixture generator broadcasts an (h, w, n_seeds) distance
+    tensor — 52 GB at 2000x1920x1700)."""
+    from scipy import ndimage as ndi
+    from scipy.spatial import cKDTree
+
+    r = np.random.default_rng(seed)
+    pts = np.stack([r.uniform(0, h, n_seeds), r.uniform(0, w, n_seeds)], 1)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    d, _ = cKDTree(pts).query(np.stack([yy.ravel(), xx.ravel()], 1), k=2)
+    ridge = np.exp(-((d[:, 1] - d[:, 0]) ** 2) / 8.0).reshape(h, w)
+    img = np.clip(ridge + 0.02 * r.standard_normal((h, w)), 0, None) * 60000
+    seg = np.where(img < 0.2 * img.max(), 0.0, img)
+    return ndi.gaussian_filter(seg.astype(np.float32), 3.0)
+
+
+@pytest.mark.slow
+def test_watershed_production_scale_dice():
+    """A full production frame in the SUITE, not in gitignored probes:
+    2000x1920 (the reference's real acquisition scale,
+    split_large_movies.ijm:11,44), checked for Dice >= 0.99 vs the exact
+    C++ Meyer oracle plus the partition / line-thinness properties. (The
+    2048^2 padded shape exercises the same pad-and-crop kernel path and is
+    measured on real TPU by bench cfg6.)"""
+    from tissue_image_processing_tpu.native import (meyer_watershed_native,
+                                                    native_available)
+
+    if not native_available():
+        pytest.skip("native Meyer oracle not built")
+    H, W = 2000, 1920
+    surf = _production_surface(H, W, n_seeds=1700, seed=11)
+    got = np.asarray(watershed(jnp.asarray(surf), use_pallas=False))
+    want = meyer_watershed_native(surf.astype(np.float32))
+    d = _best_dice(got, want)
+    print(f"\nproduction scale {H}x{W}: dice {d:.4f} ({int(got.max())} cells)")
+    assert d >= 0.99, f"{H}x{W}: dice {d:.4f}"
+    _check_watershed_properties(got, surf)
