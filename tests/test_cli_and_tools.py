@@ -355,3 +355,16 @@ def test_cli_pipeline_unet(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(tissue.get_cells_info(f).label),
             np.asarray(t2.get_cells_info(f).label))
+
+
+def test_cli_warmup_unet(tmp_path):
+    """`warmup --unet [--quantize]` compiles the exact U-Net pipeline jaxprs
+    (whole-movie + chunked variants) so `pipeline --unet` starts warm."""
+    from tissue_image_processing_tpu.cli import main
+
+    assert main(["warmup", "--unet", "--frames", "2", "--size", "64",
+                 "--zdepth", "2", "--capacity", "64", "--unet-depth", "2",
+                 "--unet-filters", "8", "--unet-batch", "2"]) == 0
+    assert main(["warmup", "--unet", "--quantize", "--frames", "2", "--size",
+                 "64", "--zdepth", "2", "--capacity", "64", "--unet-depth",
+                 "2", "--unet-filters", "8", "--unet-batch", "2"]) == 0

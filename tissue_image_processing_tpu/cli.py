@@ -322,7 +322,8 @@ def cmd_warmup(args):
     import jax
     import jax.numpy as jnp
 
-    from tissue_image_processing_tpu.core.pipeline import _segment_program
+    from tissue_image_processing_tpu.core.pipeline import (_segment_program,
+                                                           _segment_program_unet)
     from tissue_image_processing_tpu.core.tracking import (TrackingState,
                                                            track_movie)
 
@@ -334,14 +335,46 @@ def cmd_warmup(args):
     # carried reference frame, and BOTH pass per-cell (T, capacity) radii
     # (adaptive_effective_ranges(per_cell=True)); any aval mismatch here would
     # miss the persistent cache and recompile inside the production run
-    for tag, pr in (("whole-movie", None), ("chunked", prev_ref)):
-        t0 = time.time()
-        _segment_program.lower(
-            movie, prev_ref=pr, reference_channel=args.channel,
-            threshold=args.threshold, std=args.std, block_size=args.block_size,
-            capacity=args.capacity, batch=args.batch, project=Z > 1).compile()
-        print(f"segment program [{tag}] ({T}x{C}x{Z}x{H}x{W}): compiled in "
-              f"{time.time() - t0:.1f}s", flush=True)
+    if getattr(args, "unet", False):
+        from tissue_image_processing_tpu.models.predictor import (
+            SegmentationPredictor)
+
+        pred = SegmentationPredictor(None, (2, H, W), depth=args.unet_depth,
+                                     base_filters=args.unet_filters,
+                                     quantize=args.quantize)
+        if pred.quantize:
+            # activation-scale VALUES are data, but the qparams pytree
+            # STRUCTURE is shape-independent — a tiny dummy calibration
+            # yields the right avals for the compile
+            pred.calibrate(np.zeros((2, 64, 64), np.float32) + 1.0)
+        cfg = pred.pipeline_config(batch=args.unet_batch)
+        params_avals = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+            cfg["params"])
+        uprev = jax.ShapeDtypeStruct((H, W), jnp.float32)
+        movie2 = jax.ShapeDtypeStruct((T, 2, Z, H, W), jnp.uint16)
+        for tag, pr in (("whole-movie", None), ("chunked", uprev)):
+            t0 = time.time()
+            _segment_program_unet.lower(
+                movie2, params_avals, prev_ref=pr,
+                reference_channel=min(args.channel, 1),
+                capacity=args.capacity, batch=cfg["batch"], project=Z > 1,
+                quantized=cfg["quantized"], depth=cfg["depth"],
+                base_filters=cfg["base_filters"],
+                norm=cfg["norm"]).compile()
+            print(f"unet segment program [{tag}] ({T}x2x{Z}x{H}x{W}"
+                  f"{', int8' if cfg['quantized'] else ''}): compiled in "
+                  f"{time.time() - t0:.1f}s", flush=True)
+    else:
+        for tag, pr in (("whole-movie", None), ("chunked", prev_ref)):
+            t0 = time.time()
+            _segment_program.lower(
+                movie, prev_ref=pr, reference_channel=args.channel,
+                threshold=args.threshold, std=args.std,
+                block_size=args.block_size, capacity=args.capacity,
+                batch=args.batch, project=Z > 1).compile()
+            print(f"segment program [{tag}] ({T}x{C}x{Z}x{H}x{W}): compiled "
+                  f"in {time.time() - t0:.1f}s", flush=True)
     col = jax.ShapeDtypeStruct((T, args.capacity), jnp.float32)
     mask = jax.ShapeDtypeStruct((T, args.capacity), jnp.bool_)
     ranges = jax.ShapeDtypeStruct((T, args.capacity), jnp.float32)
@@ -563,6 +596,14 @@ def build_parser():
     sp.add_argument("--search-range", dest="search_range", type=float,
                     default=None)
     sp.add_argument("--memory", type=int, default=None)
+    sp.add_argument("--unet", action="store_true",
+                    help="warm the U-Net pipeline program instead of the "
+                         "watershed one (pair with pipeline --unet)")
+    sp.add_argument("--quantize", action="store_true")
+    sp.add_argument("--unet-depth", dest="unet_depth", type=int, default=3)
+    sp.add_argument("--unet-filters", dest="unet_filters", type=int,
+                    default=128)
+    sp.add_argument("--unet-batch", dest="unet_batch", type=int, default=8)
     sp.set_defaults(fn=cmd_warmup)
 
     sp = sub.add_parser("view", help="interactive napari viewer over a session")
