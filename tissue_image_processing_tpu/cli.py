@@ -67,17 +67,24 @@ def cmd_segment(args):
     _save_session(tissue, args)
 
 
-def _auto_chunk_frames(store, budget_bytes=2 << 30):
+def _auto_chunk_frames(store, budget_bytes=2 << 30, multiple=1):
     """Frames per chunk so one staged chunk stays under ~2 GiB of HBM (the
     f32 intermediates inside the program peak at a few x that; 16 GB v5e has
     room). Chunks stage in the store's NATIVE dtype (uint16 for microscope
-    data, but f32 stores are twice that). 0 = whole movie fits."""
+    data, but f32 stores are twice that). 0 = whole movie fits.
+
+    ``multiple``: round the chunk down to a multiple of the per-launch batch
+    — a prime chunk length (e.g. 17) would force _flood_batch down to B=1,
+    costing the U-Net its >=8-batch conv tilings (~172 vs ~116 TF/s)."""
     itemsize = np.dtype(getattr(store.data, "dtype", np.uint16)).itemsize
     per_frame = int(np.prod(store.shape[1:])) * itemsize
     total = per_frame * store.num_frames
     if total <= budget_bytes:
         return 0
-    return max(1, budget_bytes // max(per_frame, 1))
+    chunk = max(1, budget_bytes // max(per_frame, 1))
+    if multiple > 1 and chunk >= multiple:
+        chunk -= chunk % multiple
+    return chunk
 
 
 def _build_unet_config(args, store, channels):
@@ -136,7 +143,10 @@ def cmd_pipeline(args):
         channels = (args.atoh_channel, args.zo_channel)
         kw["unet"] = _build_unet_config(args, store, channels)
         kw["reference_channel"] = min(args.channel, 1)
-    chunk = args.chunk if args.chunk is not None else _auto_chunk_frames(store)
+    per_launch = (args.unet_batch if getattr(args, "unet", False)
+                  else args.batch)
+    chunk = (args.chunk if args.chunk is not None
+             else _auto_chunk_frames(store, multiple=per_launch))
     overflow_frames = []
 
     def apply_frames(t0, labels, tabs, ids_c, masks, overflow):
