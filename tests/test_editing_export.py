@@ -112,6 +112,26 @@ def test_undo_roundtrip_bitexact():
     assert ed.undo_last_action(1) == 0
 
 
+def test_undo_after_interrupted_line():
+    """Starting a new action while a line is half-drawn (no final=True) must
+    seal the open line's patch first — otherwise its zeroed pixels become
+    unrecoverable and undo can never restore the original frame."""
+    tissue = make_tissue(T=1)
+    ed = SegmentationEditor(tissue)
+    labels_orig = tissue.get_labels(1).copy()
+    ys, xs = np.nonzero(labels_orig == 15)
+    mid_y = (ys.min() + ys.max()) // 2
+    # half-drawn line: initial only, never finalized
+    ed.add_segmentation_line(1, (xs.min() + 2, mid_y), initial=True)
+    assert (tissue.get_labels(1) != labels_orig).any()
+    # a remove on another boundary interrupts it
+    ed.remove_segmentation_line(1, (xs.max() + 1, mid_y))
+    assert ed.undo_last_action(1) == 1   # undo the remove
+    assert ed.undo_last_action(1) == 1   # undo the sealed half-line
+    np.testing.assert_array_equal(tissue.get_labels(1), labels_orig)
+    assert ed.undo_last_action(1) == 0
+
+
 def test_change_cell_type_and_invalid():
     tissue = make_tissue(T=1)
     tissue.type_names = ["HC"]

@@ -87,16 +87,17 @@ def _auto_chunk_frames(store, budget_bytes=2 << 30, multiple=1):
     return chunk
 
 
-def _build_unet_config(args, store, channels):
+def _build_unet_config(args, store, channels, reference_channel):
     """Predictor for `pipeline --unet`: load/fold weights, calibrate the int8
     scales on the movie's projected first frame, package for the fused
-    program (SegmentationPredictor.pipeline_config)."""
+    program (SegmentationPredictor.pipeline_config).
+    ``reference_channel`` indexes within the selected (atoh, zo) pair."""
     import jax.numpy as jnp
 
     from tissue_image_processing_tpu.models.predictor import (
         SegmentationPredictor)
 
-    shape = store.frame(0)[0, 0].shape
+    shape = tuple(store.shape[-2:])  # (Y, X) without decoding a frame
     pred = SegmentationPredictor(args.weights, (2,) + shape,
                                  depth=args.unet_depth,
                                  base_filters=args.unet_filters,
@@ -105,10 +106,11 @@ def _build_unet_config(args, store, channels):
         from tissue_image_processing_tpu.projection.surface import (
             project_timepoint_auto)
 
+        # the ONE frame decode of startup (lazy/zstd stores decode per touch)
         stack0 = store.frame(0)[list(channels)].astype(np.float32)
         if stack0.shape[1] > 1:
             prj0 = project_timepoint_auto(
-                jnp.asarray(stack0), reference_channel=min(args.channel, 1))[0]
+                jnp.asarray(stack0), reference_channel=reference_channel)[0]
         else:
             prj0 = jnp.asarray(stack0[:, 0])
         pred.calibrate(np.asarray(prj0))
@@ -141,8 +143,13 @@ def cmd_pipeline(args):
         # of the projected frame (reference gui.py:2055-2073); projection
         # still uses --channel as the reference within that pair
         channels = (args.atoh_channel, args.zo_channel)
-        kw["unet"] = _build_unet_config(args, store, channels)
-        kw["reference_channel"] = min(args.channel, 1)
+        # --channel names a STORE channel; inside the selected (atoh, zo)
+        # pair it sits at its pair index (min(channel, 1) was wrong for any
+        # pair other than (0, 1))
+        ref_in_pair = (channels.index(args.channel)
+                       if args.channel in channels else 0)
+        kw["reference_channel"] = ref_in_pair
+        kw["unet"] = _build_unet_config(args, store, channels, ref_in_pair)
     per_launch = (args.unet_batch if getattr(args, "unet", False)
                   else args.batch)
     chunk = (args.chunk if args.chunk is not None
@@ -363,11 +370,13 @@ def cmd_warmup(args):
             cfg["params"])
         uprev = jax.ShapeDtypeStruct((H, W), jnp.float32)
         movie2 = jax.ShapeDtypeStruct((T, 2, Z, H, W), jnp.uint16)
+        pair = (args.atoh_channel, args.zo_channel)
+        ref_in_pair = pair.index(args.channel) if args.channel in pair else 0
         for tag, pr in (("whole-movie", None), ("chunked", uprev)):
             t0 = time.time()
             _segment_program_unet.lower(
                 movie2, params_avals, prev_ref=pr,
-                reference_channel=min(args.channel, 1),
+                reference_channel=ref_in_pair,
                 capacity=args.capacity, batch=cfg["batch"], project=Z > 1,
                 quantized=cfg["quantized"], depth=cfg["depth"],
                 base_filters=cfg["base_filters"],
@@ -610,6 +619,8 @@ def build_parser():
                     help="warm the U-Net pipeline program instead of the "
                          "watershed one (pair with pipeline --unet)")
     sp.add_argument("--quantize", action="store_true")
+    sp.add_argument("--atoh-channel", dest="atoh_channel", type=int, default=0)
+    sp.add_argument("--zo-channel", dest="zo_channel", type=int, default=1)
     sp.add_argument("--unet-depth", dest="unet_depth", type=int, default=3)
     sp.add_argument("--unet-filters", dest="unet_filters", type=int,
                     default=128)

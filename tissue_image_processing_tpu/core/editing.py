@@ -130,13 +130,16 @@ class SegmentationEditor:
         return self._pending["labels"] if self._pending else None
 
     def _begin_action(self, frame: int, action: str):
+        if self._pending is not None:
+            # a half-drawn line left open: seal its patch before starting a
+            # new action, or its zeroed pixels would become unrecoverable
+            self._commit_action()
         labels = self.tissue.get_labels(frame)
         types_map = self.tissue.get_cell_types(frame)
         self._pending = {
             "action": action, "frame": frame, "labels": labels.copy(),
             "table": self.tissue.get_cells_info(frame),
             "types_map": None if types_map is None else types_map.copy()}
-        self.last_action.append(action)
 
     def _commit_action(self):
         """Close the pending action: diff the frame against its pre-edit
@@ -158,6 +161,7 @@ class SegmentationEditor:
             tys, txs = np.nonzero(tchanged)
             entry["type_pixels"] = (tys, txs, pre["types_map"][tys, txs])
         self._undo_stack.append(entry)
+        self.last_action.append(entry["action"])  # mirrors _undo_stack
 
     def undo_last_action(self, frame: int) -> int:
         """Revert the most recent completed action on ``frame`` — labels,
@@ -165,13 +169,11 @@ class SegmentationEditor:
         return to their exact pre-edit state."""
         if self._pending is not None and self._pending["frame"] == frame:
             self._commit_action()  # undo of a half-drawn line: close it first
-        while self.last_action and self.last_action[-1] not in ("add", "remove"):
-            self.last_action.pop()
         if not self._undo_stack or self._undo_stack[-1]["frame"] != frame:
             return 0
         entry = self._undo_stack.pop()
         if self.last_action:
-            self.last_action.pop()
+            self.last_action.pop()  # its twin (appended by _commit_action)
         labels = self.tissue.get_labels(frame)
         ys, xs, old = entry["pixels"]
         labels[ys, xs] = old

@@ -146,18 +146,17 @@ def _frame_view(tissue, frame):
                 edge_row=edge_row, nbrs=nbrs, cx=cx, cy=cy, types=types)
 
 
-def _neighbor_fields(view):
-    """(valid_nb, ok, nb_ids, nb_edge) over the (N, K) padded adjacency: which
-    neighbor slots hold a neighbor, whether that neighbor is a valid tracked
-    row, its track id, and whether it touches the border."""
-    nbrs = view["nbrs"]
+def _neighbor_fields(view, rows=None):
+    """(valid_nb, ok, nb_ids, nb_rows) over the padded adjacency (optionally
+    only ``rows`` of it): which neighbor slots hold a neighbor, whether that
+    neighbor is a valid tracked row, its track id, and its row index."""
+    nbrs = view["nbrs"] if rows is None else view["nbrs"][rows]
     N = view["mask"].size
     valid_nb = nbrs > 0
     r = np.clip(nbrs.astype(np.int64) - 1, 0, N - 1)
     ok = valid_nb & (nbrs - 1 < N) & view["mask"][r]
     nb_ids = np.where(ok, view["ids"][r], 0)
-    nb_edge = ok & view["edge_row"][r]
-    return valid_nb, ok, nb_ids, nb_edge
+    return valid_nb, ok, nb_ids, r
 
 
 def _stable_rows(view, gone_arr: np.ndarray, edge_arr: np.ndarray) -> np.ndarray:
@@ -286,12 +285,7 @@ def find_events_iterator(tissue, initial_frame: int = 1, final_frame: int = -1,
                 cand, px, py = cand[inb], px[inb], py[inb]
             if cand.size:
                 mother_label_prev = prev["labels"][py, px]          # (n,)
-                nbrs = cur["nbrs"][cand]
-                Ncur = cur["mask"].size
-                valid_nb = nbrs > 0
-                r = np.clip(nbrs.astype(np.int64) - 1, 0, Ncur - 1)
-                ok = valid_nb & (nbrs - 1 < Ncur) & cur["mask"][r]
-                nb_ids = np.where(ok, cur["ids"][r], 0)
+                valid_nb, ok, nb_ids, r = _neighbor_fields(cur, rows=cand)
                 # ANY invalid neighbor kills the candidate (the reference
                 # breaks with detected=False, tissue_info.py:753-756)
                 alive = ~((valid_nb & ~ok).any(axis=1))

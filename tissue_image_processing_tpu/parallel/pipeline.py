@@ -125,8 +125,6 @@ def _sharded_segment_program(mesh, capacity, reference_channel, threshold,
     the global-frame-0 shard takes it as its drift predecessor instead of the
     ppermute wrap-around, so drift[0] of each chunk is the true boundary
     shift (the same carry the single-chip ``movie_pipeline_chunked`` makes)."""
-    import functools as _ft
-
     from tissue_image_processing_tpu.core.cell_table import frame_cellinfo
     from tissue_image_processing_tpu.ops.drift import phase_cross_correlation
     from tissue_image_processing_tpu.ops.watershed import watershed_segmentation

@@ -217,7 +217,10 @@ def large_image_projection(
     # would re-decode the full-resolution frame for every tile, turning the
     # huge-fixed-sample path this tiling exists for into O(n_tiles) decodes
     for t in range(T):
-        frame = store.frame(t)  # (C, Z, Y, X)
+        # one decode per frame for lazy sources, but NO np.asarray: an
+        # mmap-backed store must stay a view here so each tile slice reads
+        # only tile bytes (a 15000^2 x 40z frame is ~36 GB materialized)
+        frame = store.data[t]  # (C, Z, Y, X)
         for y0 in range(0, Y, cs):
             for x0 in range(0, X, cs):
                 chunk = frame[None, :, :, y0:y0 + cs, x0:x0 + cs]
