@@ -171,3 +171,35 @@ def test_unet_quantized_pipeline_runs(movie):
     out = movie_pipeline_chunked(movie, chunk_frames=4, capacity=64, unet=cfg)
     assert out["ids"].shape == (movie.shape[0], 64)
     assert out["labels"].shape[0] == movie.shape[0]
+
+
+def test_unet_chunked_from_lazy_zstd_czi(tmp_path, unet_cfg):
+    """Round-5 feature composition: a zstd1-compressed CZI streams through
+    the lazy MovieStore into the chunked U-Net pipeline and reproduces the
+    in-memory array run exactly."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_czi import write_czi
+
+    from tissue_image_processing_tpu.io.movie import (MovieStore,
+                                                      _CziFrameSource)
+
+    movie = _movie(T=4).astype(np.uint16)
+    T, C, Z, Y, X = movie.shape
+    planes = []
+    for t in range(T):
+        for c in range(C):
+            for z in range(Z):
+                planes.append(({"X": (0, X), "Y": (0, Y), "C": (c, 1),
+                                "Z": (z, 1), "T": (t, 1)}, movie[t, c, z]))
+    path = str(tmp_path / "movie.czi")
+    write_czi(path, planes, compression=6, hilo=True)
+    store = MovieStore.open(path)
+    assert isinstance(store.data, _CziFrameSource)
+    kw = dict(capacity=64, unet=unet_cfg)
+    got = movie_pipeline_chunked(store, chunk_frames=2, **kw)
+    want = movie_pipeline(jnp.asarray(movie), **kw)
+    np.testing.assert_array_equal(got["ids"], want["ids"])
+    np.testing.assert_array_equal(got["labels"], np.asarray(want["labels"]))
+    store.close()
