@@ -564,9 +564,15 @@ class Tissue:
         monotone. Shared by ``track_cells`` and the fused ``cli pipeline``
         driver so the merge semantics cannot diverge."""
         import dataclasses
-        new_label = np.where(mask_row, ids_row, np.asarray(table.label))
-        self.set_cells_info(frame, dataclasses.replace(
-            table, label=jnp.asarray(new_label.astype(np.int32))))
+        new_label = np.where(mask_row, ids_row,
+                             np.asarray(table.label)).astype(np.int32)
+        # preserve the table's residency: the fused pipeline hands HOST
+        # tables, and keeping them host-side lets event detection run at its
+        # host-resident rate (~240 pairs/s vs ~10 through the dev tunnel,
+        # bench cfg7h) instead of paying a device fetch per frame
+        label = (new_label if isinstance(table.label, np.ndarray)
+                 else jnp.asarray(new_label))
+        self.set_cells_info(frame, dataclasses.replace(table, label=label))
         self.cells_number = max(self.cells_number, int(np.asarray(ids_row).max()))
 
     def calc_overall_drift(self) -> np.ndarray:
